@@ -1,0 +1,146 @@
+"""Byte-level BPE tokenizer with RoBERTa post-processing.
+
+Replaces the reference's HF AutoTokenizer usage (reference dataset.py:158-165:
+``tokenizer(text, max_length=N, padding='max_length', truncation=True)``).
+The merge engine is native C++ (bpe.cpp via ctypes, compiled on first use and
+cached next to the source); a pure-Python engine (bpe_py.py) is the fallback
+and the parity oracle.
+
+Vocabulary files are standard HF ``vocab.json``/``merges.txt`` (e.g. from
+roberta-base). Special-token conventions follow RoBERTa:
+``<s>=bos=0, <pad>=1, </s>=eos=2, <unk>=3``; single-sequence encoding is
+``<s> tokens </s>`` with truncation to max_length-2 interior tokens.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from synergy_tpu.data.tokenizer.bpe_py import BPEEngine, load_vocab_merges
+
+_SRC_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_SRC_DIR, "libbpe.so")
+
+
+def _build_native() -> Optional[str]:
+    """Compile bpe.cpp into libbpe.so next to the source (one-time, cached)."""
+    src = os.path.join(_SRC_DIR, "bpe.cpp")
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", src, "-o", _LIB_PATH],
+            check=True, capture_output=True, cwd=_SRC_DIR,
+        )
+        return _LIB_PATH
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+class _NativeEngine:
+    def __init__(self, vocab_file: str, merges_file: str):
+        lib_path = _build_native()
+        if lib_path is None:
+            raise RuntimeError("native BPE build failed")
+        lib = ctypes.CDLL(lib_path)
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int32
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        handle = lib.bpe_create(vocab_file.encode(), merges_file.encode())
+        if not handle:
+            raise RuntimeError(f"bpe_create failed for {vocab_file}")
+        self._lib, self._handle = lib, handle
+        self._buf_size = 4096
+        self._buf = (ctypes.c_int32 * self._buf_size)()
+
+    def encode_text(self, text: str) -> List[int]:
+        data = text.encode("utf-8")
+        n = self._lib.bpe_encode(self._handle, data, len(data), self._buf, self._buf_size)
+        if n > self._buf_size:
+            self._buf_size = max(n, self._buf_size * 2)
+            self._buf = (ctypes.c_int32 * self._buf_size)()
+            n = self._lib.bpe_encode(self._handle, data, len(data), self._buf, self._buf_size)
+        return list(self._buf[:n])
+
+    def __del__(self):
+        try:
+            self._lib.bpe_destroy(self._handle)
+        except Exception:
+            pass
+
+
+class ByteLevelBPETokenizer:
+    """RoBERTa-compatible tokenizer over vocab.json/merges.txt files."""
+
+    def __init__(self, vocab_file: str, merges_file: str, backend: str = "auto"):
+        vocab, merges = load_vocab_merges(vocab_file, merges_file)
+        self.vocab = vocab
+        self.bos_token_id = vocab.get("<s>", 0)
+        self.pad_token_id = vocab.get("<pad>", 1)
+        self.eos_token_id = vocab.get("</s>", 2)
+        self.unk_token_id = vocab.get("<unk>", 3)
+        self.vocab_size = max(vocab.values()) + 1
+        self._py = BPEEngine(vocab, merges)
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                self._native = _NativeEngine(vocab_file, merges_file)
+            except RuntimeError:
+                if backend == "native":
+                    raise
+        self.backend = "native" if self._native is not None else "python"
+
+    def encode_raw(self, text: str) -> List[int]:
+        """BPE ids without special tokens."""
+        engine = self._native if self._native is not None else self._py
+        return engine.encode_text(text)
+
+    def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
+        """``<s> tokens </s>`` with truncation to max_length (no padding)."""
+        ids = self.encode_raw(text)
+        if max_length is not None:
+            ids = ids[: max_length - 2]
+        return [self.bos_token_id] + ids + [self.eos_token_id]
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        max_length: int = 32,
+        padding: str = "max_length",
+        truncation: bool = True,
+    ) -> Dict[str, np.ndarray]:
+        """Batch-encode to fixed (len(texts), max_length) int32 arrays, matching
+        HF's ``padding='max_length', truncation=True`` semantics."""
+        if isinstance(texts, str):
+            texts = [texts]
+        batch = []
+        for t in texts:
+            ids = self.encode(t, max_length=max_length if truncation else None)
+            batch.append(ids)
+        if padding == "max_length":
+            width = max_length
+        else:
+            width = max(len(x) for x in batch)
+        input_ids = np.full((len(batch), width), self.pad_token_id, dtype=np.int32)
+        attention_mask = np.zeros((len(batch), width), dtype=np.int32)
+        for i, ids in enumerate(batch):
+            ids = ids[:width]
+            input_ids[i, : len(ids)] = ids
+            attention_mask[i, : len(ids)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        if skip_special_tokens:
+            special = {self.bos_token_id, self.eos_token_id, self.pad_token_id}
+            ids = [i for i in ids if i not in special]
+        return self._py.decode_ids(ids)
