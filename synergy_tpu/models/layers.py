@@ -1,0 +1,135 @@
+"""Shared Flax transformer building blocks for all three towers.
+
+One encoder implementation serves CLIP-ViT (pre-LN, quick_gelu), RoBERTa
+(post-LN, gelu) and AST (pre-LN ViT, gelu) — the reference gets these from
+three separate HF implementations (reference model.py:71-74); structurally
+they differ only in norm placement and activation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from synergy_tpu.ops.attention import dot_product_attention, mask_to_bias
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+}
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections (HF layout)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, bias=None):
+        d_model = self.num_heads * self.head_dim
+        dense = lambda name: nn.Dense(d_model, dtype=self.dtype, name=name)
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q), split(k), split(v), bias,
+                                    impl=self.attn_impl)
+        b, h, s, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+
+
+class MLPBlock(nn.Module):
+    intermediate_size: int
+    hidden_size: int
+    act: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        x = ACTIVATIONS[self.act](x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
+
+
+class EncoderLayer(nn.Module):
+    """Transformer encoder layer; ``pre_norm=True`` = CLIP/ViT/AST style,
+    ``pre_norm=False`` = BERT/RoBERTa style (LN after residual add)."""
+
+    num_heads: int
+    head_dim: int
+    intermediate_size: int
+    act: str
+    layer_norm_eps: float = 1e-5
+    pre_norm: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, bias=None):
+        hidden = self.num_heads * self.head_dim
+        attn = MultiHeadAttention(self.num_heads, self.head_dim, self.dtype,
+                                  self.attn_impl, name="attn")
+        mlp = MLPBlock(self.intermediate_size, hidden, self.act, self.dtype,
+                       name="mlp")
+        ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
+        drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
+        if self.pre_norm:
+            x = x + drop(attn(ln1(x), bias))
+            x = x + drop(mlp(ln2(x)))
+        else:
+            x = ln1(x + drop(attn(x, bias)))
+            x = ln2(x + drop(mlp(x)))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    intermediate_size: int
+    act: str
+    layer_norm_eps: float = 1e-5
+    pre_norm: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+    deterministic: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, bias=None):
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.num_heads, self.head_dim, self.intermediate_size, self.act,
+                self.layer_norm_eps, self.pre_norm, self.dropout, self.dtype,
+                self.attn_impl, self.deterministic, name=f"layer_{i}",
+            )(x, bias)
+        return x
+
+
+__all__ = [
+    "ACTIVATIONS", "EncoderLayer", "MLPBlock", "MultiHeadAttention",
+    "TransformerEncoder", "mask_to_bias", "quick_gelu",
+]

@@ -7,13 +7,22 @@ tests therefore run on CPU with 8 virtual devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects a TPU platform: unit
+# tests rely on the 8-virtual-device trick, which is host-platform only.
+# JAX reads JAX_PLATFORMS at import time and a pytest plugin may import jax
+# before this conftest, so set the config object too (backend init is lazy,
+# so this is still early enough).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+if os.environ.get("SYNERGY_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,107 @@
+"""Audio front-end parity vs the HF AST feature extractor (numpy fallback),
+the exact code path the reference exercises via AutoProcessor
+(reference dataset.py:146-149)."""
+
+import numpy as np
+import pytest
+
+from synergy_tpu.data import audio as A
+
+
+@pytest.fixture(scope="module")
+def hf_extractor():
+    from transformers import ASTFeatureExtractor
+
+    return ASTFeatureExtractor()
+
+
+def _waves(rng):
+    return [
+        rng.standard_normal(16000).astype(np.float32) * 0.1,          # 1s
+        rng.standard_normal(160000).astype(np.float32) * 0.05,        # 10s
+        np.sin(2 * np.pi * 440 * np.arange(48000) / 16000).astype(np.float32),
+        rng.standard_normal(200000).astype(np.float32) * 0.2,         # >10.24s
+        rng.standard_normal(399).astype(np.float32),                  # < one frame
+    ]
+
+
+def test_mel_filters_match_hf():
+    from transformers.audio_utils import mel_filter_bank
+
+    ref = mel_filter_bank(
+        num_frequency_bins=257, num_mel_filters=128, min_frequency=20,
+        max_frequency=8000, sampling_rate=16000, norm=None,
+        mel_scale="kaldi", triangularize_in_mel_space=True)
+    ours = A.kaldi_mel_filters()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_fbank_f64_matches_ast_extractor_exactly(hf_extractor, rng):
+    """The float64 twin must match HF's numpy fbank to ~1e-5 — this pins the
+    algorithm (framing, DC offset, preemphasis, window, FFT, mel, log, pad,
+    normalize) exactly."""
+    for wave in _waves(rng):
+        ref = hf_extractor(wave, sampling_rate=16000, return_tensors="np")
+        ref = ref["input_values"][0]
+        ours = A.extract_fbank_f64(wave)
+        assert ours.shape == ref.shape == (1024, 128)
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fbank_matches_ast_extractor(hf_extractor, rng):
+    """The float32 JAX path agrees within f32 FFT precision (TPU has no f64)."""
+    for wave in _waves(rng):
+        ref = hf_extractor(wave, sampling_rate=16000, return_tensors="np")
+        ref = ref["input_values"][0]
+        ours = A.extract_fbank(wave)
+        assert ours.shape == ref.shape == (1024, 128)
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+        assert np.abs(ours - ref).mean() < 2e-4
+
+
+def test_fbank_batch_jit(rng):
+    waves = np.stack([rng.standard_normal(32000).astype(np.float32) for _ in range(3)])
+    out = A.log_mel_fbank_batch(waves)
+    assert out.shape == (3, 1024, 128)
+    single = A.extract_fbank(waves[1])
+    # vmap/jit may fuse FFT differently; bound by f32 precision
+    np.testing.assert_allclose(np.asarray(out[1]), single, atol=2e-3)
+
+
+def test_augmentations_semantics(rng):
+    data = rng.standard_normal(16000).astype(np.float32)
+    assert np.allclose(A.minus_sound(data), -data)
+    shifted = A.shift_data(data, rate=0.1)
+    assert np.allclose(shifted, np.roll(data, 1600))
+    noisy = A.add_white_noise(data, rate=0.005, rng=np.random.default_rng(0))
+    assert 0 < np.abs(noisy - data).max() < 0.05
+    stretched = A.stretch_data(data, rate=0.5)
+    assert len(stretched) > len(data) * 1.5  # slower rate -> longer audio
+    out = A.audio_augment(data, apply_rate=0.0, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(out, data)  # apply_rate=0 is identity
+
+
+def test_resample(rng):
+    t = np.arange(22050 * 2) / 22050.0
+    wave = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = A.resample(wave, 22050, 16000)
+    assert abs(len(out) - 32000) <= 1
+    # the 440 Hz tone must survive resampling
+    spec = np.abs(np.fft.rfft(out[:16000]))
+    assert abs(np.argmax(spec) - 440) <= 2
+
+
+def test_read_wav_roundtrip(tmp_path, rng):
+    import wave as wavmod
+
+    data = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    pcm = (np.clip(data, -1, 1) * 32767).astype("<i2")
+    p = tmp_path / "t.wav"
+    with wavmod.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    out, sr = A.read_wav(str(p))
+    assert sr == 16000
+    np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)

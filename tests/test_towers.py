@@ -1,0 +1,120 @@
+"""Tower fidelity gate: ported weights must reproduce HF torch outputs <=1e-4
+(BASELINE.md "embedding fidelity"). HF models are constructed from configs
+with random init (no network), weights are ported via interop/hf_port.py, and
+last_hidden_state + pooler_output are compared on fixed inputs.
+
+Small-dim configs keep CPU runtime low while exercising every architectural
+detail (norm placement, activations, position-id conventions, pooling).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from synergy_tpu.configs import AudioConfig, TextConfig, VisionConfig
+from synergy_tpu.interop import hf_port
+from synergy_tpu.models.ast import ASTModel
+from synergy_tpu.models.roberta import RobertaModel
+from synergy_tpu.models.vit import ViTModel
+
+TOL = 1e-4
+
+
+def _assert_close(ours, ref, what):
+    err = np.abs(np.asarray(ours) - ref.detach().numpy()).max()
+    assert err <= TOL, f"{what}: max err {err}"
+
+
+@pytest.mark.parametrize("hidden,layers,heads", [(64, 2, 4)])
+def test_vit_parity(hidden, layers, heads, rng):
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        image_size=64, patch_size=16)
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(hf_cfg).eval()
+    cfg = VisionConfig(hidden_size=hidden, intermediate_size=hidden * 4,
+                       num_hidden_layers=layers, num_attention_heads=heads,
+                       image_size=64, patch_size=16)
+    model = ViTModel(cfg)
+    params = hf_port.port_vision(hf)
+    pixels = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.from_numpy(pixels))
+    lhs, pooled = model.apply({"params": params}, jnp.asarray(pixels))
+    _assert_close(lhs, ref.last_hidden_state, "vit last_hidden_state")
+    _assert_close(pooled, ref.pooler_output, "vit pooler_output")
+
+
+def test_roberta_parity(rng):
+    from transformers import RobertaConfig
+    from transformers import RobertaModel as HFRoberta
+
+    hf_cfg = RobertaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=66, type_vocab_size=1,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = HFRoberta(hf_cfg).eval()
+    cfg = TextConfig(vocab_size=512, hidden_size=64, intermediate_size=256,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     max_position_embeddings=66,
+                     attention_dropout=0.0, hidden_dropout=0.0)
+    model = RobertaModel(cfg)
+    params = hf_port.port_text(hf)
+    ids = rng.integers(4, 512, size=(3, 12)).astype(np.int64)
+    ids[:, 0] = 0
+    mask = np.ones_like(ids)
+    mask[0, 8:] = 0
+    ids[0, 8:] = 1  # pad
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask))
+    lhs, pooled = model.apply({"params": params}, jnp.asarray(ids),
+                              jnp.asarray(mask))
+    # padded positions may legitimately differ; compare non-pad tokens
+    ours_lhs = np.asarray(lhs) * mask[..., None]
+    ref_lhs = ref.last_hidden_state.numpy() * mask[..., None]
+    assert np.abs(ours_lhs - ref_lhs).max() <= TOL
+    _assert_close(pooled, ref.pooler_output, "roberta pooler")
+
+
+def test_roberta_position_ids():
+    from synergy_tpu.models.roberta import create_position_ids
+
+    ids = jnp.asarray([[0, 5, 6, 2, 1, 1], [0, 7, 2, 1, 1, 1]])
+    pos = create_position_ids(ids, 1)
+    np.testing.assert_array_equal(
+        np.asarray(pos), [[2, 3, 4, 5, 1, 1], [2, 3, 4, 1, 1, 1]])
+
+
+def test_ast_parity(rng):
+    from transformers import ASTConfig
+    from transformers import ASTModel as HFAst
+
+    hf_cfg = ASTConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=16, frequency_stride=12,
+        time_stride=12, max_length=128, num_mel_bins=64,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = HFAst(hf_cfg).eval()
+    cfg = AudioConfig(hidden_size=64, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      patch_size=16, frequency_stride=12, time_stride=12,
+                      max_length=128, num_mel_bins=64)
+    assert cfg.seq_len == hf.embeddings.position_embeddings.shape[1]
+    model = ASTModel(cfg)
+    params = hf_port.port_audio(hf)
+    fbank = rng.standard_normal((2, 128, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(input_values=torch.from_numpy(fbank))
+    lhs, pooled = model.apply({"params": params}, jnp.asarray(fbank))
+    _assert_close(lhs, ref.last_hidden_state, "ast last_hidden_state")
+    _assert_close(pooled, ref.pooler_output, "ast pooler_output")
