@@ -1,0 +1,95 @@
+"""Headline benchmark: tri-modal contrastive TRAINING throughput on TPU.
+
+Measures full Base training steps (3 tower forwards + backward + AdamW over
+globally-batched 3-pair InfoNCE, bf16 compute, Pallas flash attention on the
+852-token audio tower) and reports triplets/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "triplets_per_sec_per_chip", "value": N, "unit": "triplets/s",
+   "vs_baseline": N/5000}
+vs_baseline is against the BASELINE.json north-star target (>=5k tri-modal
+triplets/sec/chip on v5e for the Base config); the reference itself publishes
+no throughput numbers (BASELINE.md).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=None, help="per-chip batch")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--mode", choices=["train", "infer"], default="train")
+    args = p.parse_args()
+
+    from synergy_tpu.configs import CLIPConfig, TrainConfig
+    from synergy_tpu.models.tri_clip import TriCLIP
+    from synergy_tpu.train.state import create_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_dev = jax.device_count()
+    cfg = CLIPConfig.base() if on_tpu else CLIPConfig.tiny()
+    batch = args.batch or ((35 if on_tpu else 8) * n_dev)
+
+    model = TriCLIP(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    rng = np.random.default_rng(0)
+    seq = 32 if on_tpu else 8
+    batch_np = {
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (batch, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(4, cfg.text.vocab_size,
+                                              (batch, seq)), jnp.int32),
+        "attention_mask": jnp.ones((batch, seq), jnp.int32),
+        "input_values": jnp.asarray(rng.standard_normal(
+            (batch, cfg.audio.max_length, cfg.audio.num_mel_bins)), jnp.float32),
+    }
+    tcfg = TrainConfig(per_device_batch=batch // n_dev, accum_steps=1)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch_np)
+
+    if args.mode == "train":
+        step = jax.jit(make_train_step(model, tcfg), donate_argnums=(0,))
+
+        def run_once(state):
+            state, metrics = step(state, batch_np)
+            return state, metrics
+
+        for _ in range(args.warmup):
+            state, metrics = run_once(state)
+        float(metrics["loss"])  # force full sync (host transfer)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = run_once(state)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+    else:
+        fwd = jax.jit(lambda p, b: model.apply(
+            {"params": p}, b["pixel_values"], b["input_ids"],
+            b["attention_mask"], b["input_values"]))
+        out = fwd(state.params, batch_np)
+        float(out["image_embeds"][0, 0])  # force full sync
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fwd(state.params, batch_np)
+        float(out["image_embeds"][0, 0])
+        dt = time.perf_counter() - t0
+
+    triplets_per_sec = args.steps * batch / dt
+    per_chip = triplets_per_sec / n_dev
+    print(json.dumps({
+        "metric": "triplets_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "triplets/s",
+        "vs_baseline": round(per_chip / 5000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,48 @@ def tri_clip_loss(
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / (norm + eps)
+
+
+# ---------------------------------------------------------------------------
+# MMR reconstruction losses (reference model.py:634-639, 708-712, 775-779)
+# ---------------------------------------------------------------------------
+
+def resize_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize of the trailing two spatial dims with torch semantics
+    (a=-0.75 cubic kernel, as torchvision Resize(BICUBIC) on tensors)."""
+    from synergy_tpu.ops.resize import resize_bicubic_torch
+
+    return resize_bicubic_torch(x, size)
+
+
+def mmr_image_loss(recon: jnp.ndarray, label: jnp.ndarray, alpha: float = 0.75):
+    """recon (B,3,128,128); label (B,3,H,W) resized bicubic to recon size.
+    recon_loss = MSE + L1; total = alpha*(1-SSIM) + (1-alpha)*recon_loss
+    (reference model.py:703-712)."""
+    from synergy_tpu.ops.ssim import ssim
+
+    label = resize_bicubic(label, recon.shape[-2:])
+    recon_loss = jnp.mean((recon - label) ** 2) + jnp.mean(jnp.abs(recon - label))
+    ssim_loss = 1.0 - ssim(recon, label, data_range=1.0)
+    return alpha * ssim_loss + (1 - alpha) * recon_loss, recon_loss, ssim_loss
+
+
+def mmr_audio_loss(recon: jnp.ndarray, label: jnp.ndarray, alpha: float = 0.75):
+    """recon (B,256,64); label (B,1024,128) spectrogram resized bicubic.
+    recon_loss = MSE only (reference model.py:629-639)."""
+    from synergy_tpu.ops.ssim import ssim
+
+    label = resize_bicubic(label[:, None], recon.shape[-2:])[:, 0]
+    recon_loss = jnp.mean((recon - label) ** 2)
+    ssim_loss = 1.0 - ssim(recon[:, None], label[:, None], data_range=1.0)
+    return alpha * ssim_loss + (1 - alpha) * recon_loss, recon_loss, ssim_loss
+
+
+def mmr_text_loss(logits: jnp.ndarray, input_ids: jnp.ndarray):
+    """CE over the vocab at every position + token accuracy (reference
+    model.py:775-779; note the reference does NOT ignore pad tokens)."""
+    v = logits.shape[-1]
+    ce = jnp.mean(cross_entropy_with_integer_labels(
+        logits.reshape(-1, v), input_ids.reshape(-1)))
+    acc = jnp.mean((jnp.argmax(logits, axis=-1) == input_ids).astype(jnp.float32))
+    return ce, acc, jnp.zeros(())

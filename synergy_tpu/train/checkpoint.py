@@ -1,0 +1,138 @@
+"""Checkpointing: Orbax full train state + the per-modality export contract.
+
+The reference's C12 contract (reference main_pretraining.py:31-59): on best
+validation loss, rank 0 writes (a) one monolithic checkpoint
+``CLIP_model_{size}_{captiontype}.tar`` and (b) a per-modality export — each
+tower saved standalone next to its ``projection_head`` — which every
+downstream FT/ZS script loads (reference DT/FT_image_task.py:115-120,
+DT/FT_audio_task.py:133-138, DT/FT_text_task.py:645-651). We reproduce both:
+
+  synergy_ckpt/{tag}/state/      Orbax: full TrainState (resume-capable —
+                                 an upgrade over the reference's save-only)
+  synergy_ckpt/{tag}/export/vision/{tower.msgpack, projection_head.msgpack}
+  synergy_ckpt/{tag}/export/text/...   export/audio/...
+  synergy_ckpt/{tag}/export/logit_scales.msgpack
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def size_tag(is_base: bool, is_captioned: bool) -> str:
+    """Mirrors the reference's '{size}_{captiontype}' naming
+    (main_pretraining.py:36-41)."""
+    size = "base" if is_base else "large"
+    des = "caption" if is_captioned else "prompt"
+    return f"{size}_{des}"
+
+
+def _write(path: str, tree: Any):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def _read(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(target, data)
+
+
+def export_towers(ckpt_dir: str, tag: str, params: Dict[str, Any]):
+    """Per-modality export (the C12 contract)."""
+    base = os.path.join(ckpt_dir, tag, "export")
+    for modality in ("vision", "text", "audio"):
+        _write(os.path.join(base, modality, "tower.msgpack"), params[modality])
+        _write(os.path.join(base, modality, "projection_head.msgpack"),
+               params[f"{modality}_projection"])
+    _write(os.path.join(base, "logit_scales.msgpack"), {
+        "IT": params["logit_scale_IT"],
+        "TA": params["logit_scale_TA"],
+        "AI": params["logit_scale_AI"],
+    })
+
+
+def load_tower(ckpt_dir: str, tag: str, modality: str):
+    base = os.path.join(ckpt_dir, tag, "export", modality)
+    tower = _read(os.path.join(base, "tower.msgpack"))
+    head = _read(os.path.join(base, "projection_head.msgpack"))
+    return tower, head
+
+
+def load_logit_scales(ckpt_dir: str, tag: str) -> Dict[str, np.ndarray]:
+    return _read(os.path.join(ckpt_dir, tag, "export", "logit_scales.msgpack"))
+
+
+def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None):
+    """Full train state via Orbax (also exports the towers)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, tag, "state"))
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step}
+    ckptr.save(os.path.join(path, str(step if step is not None else int(state.step))),
+               target, force=True)
+    ckptr.wait_until_finished()
+    export_towers(ckpt_dir, tag, state.params)
+
+
+def latest_step(ckpt_dir: str, tag: str) -> Optional[int]:
+    path = os.path.join(ckpt_dir, tag, "state")
+    if not os.path.isdir(path):
+        return None
+    steps = [int(d) for d in os.listdir(path) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None):
+    """Resume support (absent in the reference — SURVEY §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_step(ckpt_dir, tag)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}/{tag}")
+    path = os.path.abspath(os.path.join(ckpt_dir, tag, "state", str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step}
+    try:
+        restored = ckptr.restore(path, target)
+        return state.replace(params=restored["params"],
+                             opt_state=restored["opt_state"],
+                             step=restored["step"])
+    except ValueError:
+        # optimizer config changed (e.g. different accum_steps wraps the
+        # opt state differently): restore params+step, fresh optimizer
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as pc:
+            restored = pc.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    item={"params": state.params, "step": state.step},
+                    partial_restore=True))
+        print("[checkpoint] optimizer state mismatch; restored params only")
+        return state.replace(params=restored["params"], step=restored["step"])
+
+
+def load_tri_clip_params(ckpt_dir: str, tag: str) -> Dict[str, Any]:
+    """Rebuild full TriCLIP params from the per-tower export (how main_MMR
+    re-assembles the stage-1 model, reference main_MMR.py:87-109)."""
+    params: Dict[str, Any] = {}
+    for modality in ("vision", "text", "audio"):
+        tower, head = load_tower(ckpt_dir, tag, modality)
+        params[modality] = tower
+        params[f"{modality}_projection"] = head
+    scales = load_logit_scales(ckpt_dir, tag)
+    params["logit_scale_IT"] = scales["IT"]
+    params["logit_scale_TA"] = scales["TA"]
+    params["logit_scale_AI"] = scales["AI"]
+    return params

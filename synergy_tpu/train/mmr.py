@@ -1,0 +1,257 @@
+"""Stage-2 Missing-Modality Reconstruction (MMR) training CLI.
+
+TPU-native counterpart of ``python main_MMR.py`` (reference main_MMR.py),
+preserving flags ``--SEED --IS_BASE --IS_CAPTIONED --MM {img,txt,aud} --IDX
+--epochs --seq_max_length --learning_rate --alpha --beta --gamma`` and the
+reference's training regime: batch 32 (main_MMR.py:52), AdamW lr 1e-3, and —
+deliberately — **single fixed-batch overfitting** (the reference hoists
+``next(iter(train_loader))`` above the epoch loop, main_MMR.py:122-144, for
+its per-category reconstruction demos). ``--single_batch false`` enables a
+conventional multi-batch loop as an upgrade.
+
+TPU-first structural changes:
+  * frozen towers run ONCE (features are constant across the overfit loop —
+    the reference recomputes them under no_grad every epoch);
+  * only wrapper params are optimized (the reference freezes via no_grad);
+  * jitted train step; SSIM/MSE/L1/CE losses from losses.py.
+Final report: PSNR+SSIM (img/aud) or token accuracy (txt) + 16 deploy renders
+(main_MMR.py:176-210).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random as pyrandom
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from synergy_tpu.configs import CLIPConfig, ReconstructionConfig
+from synergy_tpu.data.pipeline import (
+    CSVTriModalDataset, SyntheticTriModalDataset, TriModalLoader, get_tokenizer,
+)
+from synergy_tpu.losses import (
+    mmr_audio_loss, mmr_image_loss, mmr_text_loss, resize_bicubic,
+)
+from synergy_tpu.models.mmr import ImgAud2Txt, ImgTxt2Aud, TxtAud2Img
+from synergy_tpu.models.tri_clip import TriCLIP
+from synergy_tpu.ops.ssim import ssim as ssim_fn
+from synergy_tpu.train import checkpoint as ckpt
+from synergy_tpu.train.deploy import deploy
+from synergy_tpu.utils import psnr as psnr_fn
+from synergy_tpu.utils import set_seed, str2bool
+
+CATE_IDX = [[39, 74], [75, 83, 99], [42, 62, 225], [21, 24, 20]]  # main_MMR.py:49
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="STEP 2: MMR training")
+    p.add_argument("--SEED", type=int, default=17)
+    p.add_argument("--IS_BASE", type=str2bool, default=True)
+    p.add_argument("--IS_CAPTIONED", type=str2bool, default=True)
+    p.add_argument("--MM", type=str, default="img", choices=["img", "txt", "aud"])
+    p.add_argument("--IDX", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--seq_max_length", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    # ours
+    p.add_argument("--train_csv", type=str, default="vgg_sound_train_captioned.csv")
+    p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--batch_size", type=int, default=32)  # main_MMR.py:52
+    p.add_argument("--single_batch", type=str2bool, default=True)
+    p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
+    p.add_argument("--vocab_dir", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="inference")
+    p.add_argument("--deploy_samples", type=int, default=16)
+    p.add_argument("--tiny", type=str2bool, default=False)
+    p.add_argument("--dtype", type=str, default="float32")
+    return p.parse_args(argv)
+
+
+def tiny_recon_config() -> ReconstructionConfig:
+    clip = CLIPConfig.tiny()
+    return ReconstructionConfig(
+        clip=clip, projection_dim=clip.projection_dim,
+        vision_length=clip.vision.seq_len, text_length=8,
+        audio_length=clip.audio.seq_len,
+        img_tokens=8, txt_tokens=8, aud_tokens=8,
+        encoder_dim=clip.projection_dim, encoder_bottleneck_dim=16,
+        img_size=32,
+        img_decoder_layer_info=((2, 64, 4, 4), (2, 32, 8, 8), (2, 16, 16, 16)),
+        decoder_dim=32, decoder_depth=1, decoder_heads=2,
+        aud_size=(32, 8),
+        aud_decoder_layer_info=((2, 64, 4, 1), (2, 32, 8, 2), (2, 16, 16, 4)),
+    )
+
+
+def frozen_tower_features(model: TriCLIP, params, batch, mm: str):
+    """Run the two present-modality towers once; stop_gradient == the
+    reference's torch.no_grad (model.py:650,724,790)."""
+    lhs_img, pooled_img = None, None
+    outs = model.apply(
+        {"params": params}, batch["pixel_values"], batch["input_ids"],
+        batch["attention_mask"], batch["input_values"],
+        method=TriCLIP.encode_towers)
+    (img_lhs, img_pool), (txt_lhs, txt_pool), (aud_lhs, aud_pool) = outs
+    sg = jax.lax.stop_gradient
+    if mm == "aud":   # image+text -> audio; pooler features (model.py:669-670)
+        return sg(img_pool), sg(txt_pool)
+    if mm == "img":   # text+audio -> image; avg-pooled lhs (model.py:737-740)
+        return sg(txt_lhs), sg(aud_lhs)
+    return sg(img_lhs), sg(aud_lhs)  # img+aud -> text (model.py:803-806)
+
+
+def build_wrapper(recon_cfg: ReconstructionConfig, mm: str, dtype):
+    if mm == "aud":
+        return ImgTxt2Aud(recon_cfg, dtype, deterministic=True)
+    if mm == "img":
+        return TxtAud2Img(recon_cfg, dtype, deterministic=True)
+    return ImgAud2Txt(recon_cfg, dtype, deterministic=False)  # BN in train mode
+
+
+def make_batch(args, recon_cfg, tokenizer):
+    """One fixed batch, Step23-style (reference Dataset_Step23 filters VGGSound
+    categories by CATE_IDX; synthetic mode reuses its label structure)."""
+    clip = recon_cfg.clip
+    if args.synthetic or not os.path.exists(args.train_csv):
+        ds = SyntheticTriModalDataset(args.batch_size, args.IS_CAPTIONED,
+                                      seed=args.SEED)
+    else:
+        ds = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
+                                augment_audio=False, seed=args.SEED)
+    # the text decoder reconstructs exactly text_length tokens
+    # (reference config.py:138: text_length == seq_max_length)
+    loader = TriModalLoader(ds, tokenizer, args.batch_size,
+                            recon_cfg.text_length, seed=args.SEED,
+                            drop_last=False)
+    raw = next(iter(loader))
+    from synergy_tpu.train.state import device_preprocess
+
+    batch = device_preprocess(
+        {k: jnp.asarray(v) for k, v in raw.items()}, None, clip)
+    return batch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = set_seed(args.SEED)
+    model_sz = "base" if args.IS_BASE else "large"
+    text_des = "caption" if args.IS_CAPTIONED else "prompt"
+    hyper = {"img": args.alpha, "txt": args.beta, "aud": args.gamma}[args.MM]
+
+    recon_cfg = (tiny_recon_config() if args.tiny else
+                 (ReconstructionConfig.base() if args.IS_BASE
+                  else ReconstructionConfig.large()))
+    clip_cfg = recon_cfg.clip
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    tokenizer = get_tokenizer(args.vocab_dir)
+    tri = TriCLIP(clip_cfg, dtype=dtype)
+    tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
+    batch = make_batch(args, recon_cfg, tokenizer)
+    try:
+        tri_params = ckpt.load_tri_clip_params(args.ckpt_dir, tag)
+        print(f"[mmr] loaded stage-1 towers from {args.ckpt_dir}/{tag}")
+    except (FileNotFoundError, OSError):
+        print("[mmr] WARNING: no stage-1 checkpoint found; random towers")
+        tri_params = tri.init(
+            key, batch["pixel_values"], batch["input_ids"],
+            batch["attention_mask"], batch["input_values"])["params"]
+
+    feats = jax.jit(
+        lambda p, b: frozen_tower_features(tri, p, b, args.MM))(tri_params, batch)
+
+    wrapper = build_wrapper(recon_cfg, args.MM, dtype)
+    init_rngs = {"params": key, "dropout": jax.random.fold_in(key, 1)}
+    variables = wrapper.init(init_rngs, *feats)
+    w_params = variables["params"]
+    w_stats = variables.get("batch_stats", {})
+
+    tx = optax.adamw(args.learning_rate)
+    opt_state = tx.init(w_params)
+
+    if args.MM == "img":
+        label = batch["pixel_values"]
+        loss_fn_mm = lambda recon: mmr_image_loss(recon, label, alpha=0.75)
+    elif args.MM == "aud":
+        label = batch["input_values"]
+        loss_fn_mm = lambda recon: mmr_audio_loss(recon, label, alpha=0.75)
+    else:
+        label = batch["input_ids"]
+        loss_fn_mm = lambda recon: mmr_text_loss(recon, label)
+
+    def step(params, stats, opt_state, feats, dropout_key):
+        def inner(p):
+            out, updates = wrapper.apply(
+                {"params": p, "batch_stats": stats}, *feats,
+                mutable=["batch_stats"], rngs={"dropout": dropout_key})
+            loss, m1, m2 = loss_fn_mm(out)
+            return loss * hyper, (m1, m2, updates.get("batch_stats", stats))
+
+        (loss, (m1, m2, new_stats)), grads = jax.value_and_grad(
+            inner, has_aux=True)(params)
+        upd, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), new_stats, new_opt, loss, m1, m2
+
+    step = jax.jit(step)
+
+    t0 = time.time()
+    for e in range(args.epochs):
+        w_params, w_stats, opt_state, loss, m1, m2 = step(
+            w_params, w_stats, opt_state, feats, jax.random.fold_in(key, 100 + e))
+        if (e + 1) % max(1, args.epochs // 10) == 0:
+            if args.MM == "txt":
+                print(f"[mmr] epoch {e + 1}/{args.epochs} "
+                      f"loss={float(loss):.4f} acc={float(m1):.4f}")
+            else:
+                print(f"[mmr] epoch {e + 1}/{args.epochs} "
+                      f"loss={float(loss):.4f} MSE={float(m1):.4f} "
+                      f"SSIM={1 - float(m2):.4f}")
+    print(f"[mmr] trained {args.epochs} epochs in {time.time() - t0:.1f}s")
+
+    # save wrapper (MRL contract, main_MMR.py:30-37)
+    out_base = os.path.join(args.out_dir, f"{model_sz}_{text_des}", args.MM)
+    os.makedirs(out_base, exist_ok=True)
+    from flax import serialization
+
+    with open(os.path.join(out_base, "MRL_model.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, w_params)))
+
+    # final inference + metrics + deploy renders (main_MMR.py:176-210)
+    infer = build_wrapper(recon_cfg, args.MM, dtype)
+    if args.MM == "txt":
+        infer = ImgAud2Txt(recon_cfg, dtype, deterministic=True)  # BN eval mode
+    recon = infer.apply({"params": w_params, "batch_stats": w_stats}, *feats)
+    rng = pyrandom.Random(args.SEED)
+    if args.MM == "img":
+        lab = resize_bicubic(label, recon.shape[-2:])
+        p = float(psnr_fn(recon, lab))
+        s = float(ssim_fn(recon, lab, data_range=1.0))
+        print(f"psnr_score : {p:.3f} | ssim_score : {s:.4f}")
+    elif args.MM == "aud":
+        lab = resize_bicubic(label[:, None], recon.shape[-2:])[:, 0]
+        p = float(psnr_fn(recon[:, None], lab[:, None]))
+        s = float(ssim_fn(recon[:, None], lab[:, None], data_range=1.0))
+        print(f"psnr_score : {p:.3f} | ssim_score : {s:.4f}")
+    else:
+        lab = label
+        acc = float(jnp.mean((jnp.argmax(recon, -1) == label).astype(jnp.float32)))
+        print(f"accuracy : {acc:.4f} | bleu : {0:.4f}")
+    for _ in range(args.deploy_samples):
+        deploy(args.MM, model_sz, text_des, np.asarray(recon), np.asarray(lab),
+               tokenizer, idx=rng.randint(0, recon.shape[0] - 1), cate=args.IDX,
+               out_root=args.out_dir)
+    return w_params
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Stage-1 tri-modal contrastive pretraining CLI.
+
+TPU-native counterpart of ``python main_pretraining.py`` (reference
+main_pretraining.py:265-292), preserving its flags:
+  --SEED --WORLD_SIZE --PORT --IS_BASE --IS_CAPTIONED --epochs
+  --seq_max_length --learning_rate --alpha --beta --gamma
+WORLD_SIZE/PORT are accepted for CLI parity but the process/NCCL model they
+configured is replaced wholesale: one process drives a ``jax.sharding.Mesh``
+over all local chips; add ``jax.distributed.initialize()`` for multi-host.
+
+Extra flags (ours): --train_csv/--valid_csv/--test_csv, --synthetic,
+--ckpt_dir, --vocab_dir, --steps_per_epoch, --local_negatives (reference
+rank-local InfoNCE parity mode), --mesh_model (tensor-parallel axis size),
+--resume.
+
+Usage:
+  python -m synergy_tpu.train.pretrain --IS_BASE true --synthetic true \
+      --epochs 1 --steps_per_epoch 4 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergy_tpu.configs import CLIPConfig, TrainConfig
+from synergy_tpu.data.pipeline import (
+    CSVTriModalDataset, SyntheticTriModalDataset, TriModalLoader, get_tokenizer,
+    prefetch,
+)
+from synergy_tpu.models.tri_clip import TriCLIP
+from synergy_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, param_shardings, replicated, shard_batch,
+)
+from synergy_tpu.train import checkpoint as ckpt
+from synergy_tpu.train.state import (
+    create_train_state, make_eval_step, make_train_step,
+)
+from synergy_tpu.utils import set_seed, str2bool
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Synergy-TPU stage-1 pretraining")
+    # reference flags (main_pretraining.py:265-281)
+    p.add_argument("--SEED", type=int, default=17)
+    p.add_argument("--WORLD_SIZE", type=int, default=None,
+                   help="accepted for reference parity; mesh uses all devices")
+    p.add_argument("--PORT", type=str, default="12355", help="unused on TPU")
+    p.add_argument("--IS_BASE", type=str2bool, default=True)
+    p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--seq_max_length", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=5e-6)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    # ours
+    p.add_argument("--train_csv", type=str, default="vgg_sound_train_captioned.csv")
+    p.add_argument("--valid_csv", type=str, default="vgg_sound_test_captioned.csv")
+    p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="global batch; default reference per-device x devices")
+    p.add_argument("--accum_steps", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
+    p.add_argument("--vocab_dir", type=str, default=None)
+    p.add_argument("--local_negatives", type=str2bool, default=False)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--resume", type=str2bool, default=False)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--tiny", type=str2bool, default=False,
+                   help="tiny config (smoke tests)")
+    return p.parse_args(argv)
+
+
+def build_datasets(args):
+    if args.synthetic or not os.path.exists(args.train_csv):
+        if not args.synthetic:
+            print(f"[pretrain] {args.train_csv} not found -> synthetic data")
+        train = SyntheticTriModalDataset(args.synthetic_size, args.IS_CAPTIONED,
+                                         seed=args.SEED)
+        valid = SyntheticTriModalDataset(max(32, args.synthetic_size // 8),
+                                         args.IS_CAPTIONED, seed=args.SEED + 1)
+    else:
+        train = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
+                                   augment_audio=True, seed=args.SEED)
+        valid = CSVTriModalDataset(args.valid_csv, args.IS_CAPTIONED,
+                                   augment_audio=False, seed=args.SEED + 1)
+    return train, valid
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = set_seed(args.SEED)
+
+    n_dev = jax.device_count()
+    clip_cfg = (CLIPConfig.tiny() if args.tiny
+                else (CLIPConfig.base() if args.IS_BASE else CLIPConfig.large()))
+    per_dev = 35 if args.IS_BASE else 14  # main_pretraining.py:79
+    accum = args.accum_steps or (4 if args.IS_BASE else 8)
+    batch = args.batch_size or per_dev * n_dev
+    batch = max(n_dev, (batch // n_dev) * n_dev)
+    train_cfg = TrainConfig(
+        seed=args.SEED, epochs=args.epochs, per_device_batch=batch // n_dev,
+        accum_steps=accum, seq_max_length=args.seq_max_length,
+        learning_rate=args.learning_rate, alpha=args.alpha, beta=args.beta,
+        gamma=args.gamma, is_base=args.IS_BASE, is_captioned=args.IS_CAPTIONED,
+        global_negatives=not args.local_negatives)
+
+    mesh = create_mesh((-1, args.mesh_model))
+    dp = mesh.shape["data"]
+    print(f"[pretrain] devices={n_dev} mesh=data:{dp} x model:{mesh.shape['model']} "
+          f"global_batch={batch} accum={accum} negatives="
+          f"{'local(x' + str(dp) + ')' if args.local_negatives else 'global'}")
+
+    tokenizer = get_tokenizer(args.vocab_dir)
+    train_ds, valid_ds = build_datasets(args)
+    train_loader = TriModalLoader(train_ds, tokenizer, batch,
+                                  args.seq_max_length, seed=args.SEED)
+    valid_loader = TriModalLoader(valid_ds, tokenizer, batch,
+                                  args.seq_max_length, shuffle=False,
+                                  seed=args.SEED)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = TriCLIP(clip_cfg, dtype=dtype)
+    num_groups = dp if args.local_negatives else 1
+
+    img_sz = clip_cfg.vision.image_size
+    sample = {
+        "pixel_values": jnp.zeros((batch, 3, img_sz, img_sz)),
+        "input_ids": jnp.ones((batch, args.seq_max_length), jnp.int32),
+        "attention_mask": jnp.ones((batch, args.seq_max_length), jnp.int32),
+        "input_values": jnp.zeros((batch, clip_cfg.audio.max_length,
+                                   clip_cfg.audio.num_mel_bins)),
+    }
+    state = create_train_state(key, model, train_cfg, sample)
+
+    # shard: params per partition rules, batch over 'data'
+    p_shardings = param_shardings(mesh, state.params)
+    state = state.replace(
+        params=jax.device_put(state.params, p_shardings),
+        opt_state=jax.device_put(
+            state.opt_state,
+            jax.tree_util.tree_map(
+                lambda x: replicated(mesh), state.opt_state,
+                is_leaf=lambda x: hasattr(x, "shape"))),
+    )
+
+    tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
+    if args.resume and ckpt.latest_step(args.ckpt_dir, tag) is not None:
+        state = ckpt.restore_state(args.ckpt_dir, tag, state)
+        print(f"[pretrain] resumed from step {int(state.step)}")
+
+    train_step = jax.jit(make_train_step(model, train_cfg, num_groups,
+                                         preprocess=True),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model, train_cfg, num_groups,
+                                       preprocess=True))
+    b_shard = batch_sharding(mesh)
+
+    def put(batch_np: Dict[str, np.ndarray]):
+        return {k: jax.device_put(v, b_shard) for k, v in batch_np.items()}
+
+    min_loss = float("inf")
+    aug_key = jax.random.PRNGKey(args.SEED + 1234)
+    with mesh:
+        for epoch in range(args.epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            metrics_list = []
+            for step_idx, batch_np in enumerate(prefetch(iter(train_loader))):
+                if args.steps_per_epoch and step_idx >= args.steps_per_epoch:
+                    break
+                aug_key, step_key = jax.random.split(aug_key)
+                state, metrics = train_step(state, put(batch_np), step_key)
+                metrics_list.append(metrics)
+            if not metrics_list:
+                raise RuntimeError("empty training epoch (batch > dataset?)")
+            means = {k: float(np.mean([np.asarray(m[k]) for m in metrics_list]))
+                     for k in metrics_list[0]}
+            dt = time.time() - t0
+            tps = len(metrics_list) * batch / dt
+            print(f"[pretrain] epoch {epoch + 1}/{args.epochs} "
+                  f"loss={means['loss']:.4f} IT={means['IT']:.4f} "
+                  f"TA={means['TA']:.4f} AI={means['AI']:.4f} "
+                  f"({dt:.1f}s, {tps:.0f} triplets/s)")
+
+            # validation (reference main_pretraining.py:192-227)
+            val_metrics = []
+            for v_idx, batch_np in enumerate(iter(valid_loader)):
+                if args.steps_per_epoch and v_idx >= max(1, args.steps_per_epoch // 4):
+                    break
+                val_metrics.append(eval_step(state.params, put(batch_np)))
+            if val_metrics:
+                val_loss = float(np.mean([np.asarray(m["loss"]) for m in val_metrics]))
+                print(f"[pretrain]   val_loss={val_loss:.4f}")
+                if val_loss < min_loss:
+                    min_loss = val_loss
+                    ckpt.save_state(args.ckpt_dir, tag, state)
+                    print(f"[pretrain]   saved checkpoint -> {args.ckpt_dir}/{tag}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""MMR stack tests: pixel shuffle / SSIM / decoder parity vs torch primitives,
+and the stage-2 CLI end-to-end in tiny synthetic mode."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from synergy_tpu.losses import mmr_text_loss, resize_bicubic
+from synergy_tpu.ops.pixel_shuffle import pixel_shuffle_nchw, pixel_shuffle_nhwc
+from synergy_tpu.ops.ssim import ssim
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.standard_normal((2, 16, 4, 5)).astype(np.float32)
+    ref = TF.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+    ours = np.asarray(pixel_shuffle_nchw(jnp.asarray(x), 2))
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+    # NHWC variant agrees after layout conversion
+    nhwc = np.asarray(pixel_shuffle_nhwc(jnp.asarray(x.transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_allclose(nhwc.transpose(0, 3, 1, 2), ref, atol=1e-7)
+
+
+def test_resize_bicubic_matches_torch(rng):
+    x = rng.random((2, 3, 224, 224)).astype(np.float32)
+    ref = TF.interpolate(torch.from_numpy(x), size=(128, 128), mode="bicubic",
+                         align_corners=False).numpy()
+    ours = np.asarray(resize_bicubic(jnp.asarray(x), (128, 128)))
+    assert np.abs(ours - ref).max() < 1e-4
+    up = np.asarray(resize_bicubic(jnp.asarray(x[..., :64, :64]), (128, 128)))
+    ref_up = TF.interpolate(torch.from_numpy(x[..., :64, :64]), size=(128, 128),
+                            mode="bicubic", align_corners=False).numpy()
+    assert np.abs(up - ref_up).max() < 1e-4
+
+
+def test_ssim_properties(rng):
+    a = jnp.asarray(rng.random((2, 3, 64, 64)), jnp.float32)
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(a + 0.2 * jnp.asarray(rng.standard_normal(a.shape)), 0, 1)
+    v = float(ssim(a, noisy))
+    assert 0.0 < v < 0.9
+    assert float(ssim(a, noisy)) == pytest.approx(float(ssim(noisy, a)), abs=1e-6)
+
+
+def test_ssim_against_reference_impl(rng):
+    """Oracle: classic Wang et al. SSIM in numpy float64 (gaussian 11/1.5,
+    valid padding) — the same spec pytorch_msssim implements."""
+    from scipy.ndimage import correlate1d
+
+    def np_ssim(x, y, dr=1.0):
+        coords = np.arange(11) - 5
+        g = np.exp(-(coords ** 2) / (2 * 1.5 ** 2)); g /= g.sum()
+        def blur(z):
+            z = correlate1d(z, g, axis=-2, mode="constant")
+            z = correlate1d(z, g, axis=-1, mode="constant")
+            return z[..., 5:-5, 5:-5]
+        c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+        mx, my = blur(x), blur(y)
+        sxx = blur(x * x) - mx * mx
+        syy = blur(y * y) - my * my
+        sxy = blur(x * y) - mx * my
+        m = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+            (mx ** 2 + my ** 2 + c1) * (sxx + syy + c2))
+        return m.mean()
+
+    x = rng.random((1, 1, 40, 40)).astype(np.float64)
+    y = np.clip(x + 0.1 * rng.standard_normal(x.shape), 0, 1)
+    ref = np_ssim(x, y)
+    ours = float(ssim(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))
+    assert abs(ours - ref) < 1e-4
+
+
+def test_mmr_text_loss(rng):
+    logits = rng.standard_normal((2, 8, 50)).astype(np.float32)
+    ids = rng.integers(0, 50, (2, 8))
+    ce, acc, zero = mmr_text_loss(jnp.asarray(logits), jnp.asarray(ids))
+    ref = TF.cross_entropy(torch.from_numpy(logits).reshape(-1, 50),
+                           torch.from_numpy(ids).reshape(-1)).item()
+    assert abs(float(ce) - ref) < 1e-5
+    assert 0.0 <= float(acc) <= 1.0 and float(zero) == 0.0
+
+
+def test_decoder_shapes():
+    from synergy_tpu.models.mmr import AUDDecoder, IMGDecoder, TXTDecoder
+    from synergy_tpu.train.mmr import tiny_recon_config
+
+    cfg = tiny_recon_config()
+    key = jax.random.PRNGKey(0)
+    emb = jnp.zeros((2, cfg.decoder_dim))
+    img_dec = IMGDecoder(cfg)
+    out, _ = img_dec.init_with_output(key, emb)
+    assert out.shape == (2, cfg.img_channels, cfg.img_size, cfg.img_size)
+    aud_dec = AUDDecoder(cfg)
+    out, _ = aud_dec.init_with_output(key, emb)
+    assert out.shape == (2, *cfg.aud_size)
+    txt_dec = TXTDecoder(cfg)
+    out, _ = txt_dec.init_with_output(key, emb[:, None, :])
+    assert out.shape == (2, cfg.text_length, cfg.clip.text.vocab_size)
+
+
+def test_base_decoder_shapes():
+    """Base config geometry: 128x128 RGB and 256x64 spectrogram
+    (reference config.py:146-192)."""
+    from synergy_tpu.configs import ReconstructionConfig
+    from synergy_tpu.models.mmr import AUDDecoder, IMGDecoder
+
+    cfg = ReconstructionConfig.base()
+    emb = jnp.zeros((1, cfg.decoder_dim))
+    out = jax.eval_shape(
+        lambda e: IMGDecoder(cfg).init_with_output(jax.random.PRNGKey(0), e)[0],
+        emb)
+    assert out.shape == (1, 3, 128, 128)
+    out = jax.eval_shape(
+        lambda e: AUDDecoder(cfg).init_with_output(jax.random.PRNGKey(0), e)[0],
+        emb)
+    assert out.shape == (1, 256, 64)
+
+
+@pytest.mark.parametrize("mm", ["aud", "img", "txt"])
+def test_mmr_cli_tiny(tmp_path, mm):
+    from synergy_tpu.train.mmr import main
+
+    w = main([
+        "--tiny", "true", "--synthetic", "true", "--MM", mm,
+        "--epochs", "3", "--batch_size", "4", "--deploy_samples", "2",
+        "--ckpt_dir", str(tmp_path / "none"), "--out_dir", str(tmp_path / "inf"),
+    ])
+    assert w is not None
+    out_dir = tmp_path / "inf" / "base_caption" / mm
+    assert any(out_dir.iterdir())

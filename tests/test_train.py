@@ -1,0 +1,153 @@
+"""Training-stack tests on the 8-virtual-device CPU mesh: sharded train step,
+gradient accumulation, local-vs-global negatives, checkpoint round-trip, and
+the pretrain CLI end-to-end in synthetic mode."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from synergy_tpu.configs import CLIPConfig, TrainConfig
+from synergy_tpu.models.tri_clip import TriCLIP
+from synergy_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, param_partition_specs, param_shardings,
+)
+from synergy_tpu.train import checkpoint as ckpt
+from synergy_tpu.train.state import (
+    create_train_state, make_train_step,
+)
+
+
+def _tiny_batch(cfg, batch=8, seq=8, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return {
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (batch, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(4, cfg.text.vocab_size, (batch, seq)), jnp.int32),
+        "attention_mask": jnp.ones((batch, seq), jnp.int32),
+        "input_values": jnp.asarray(rng.standard_normal(
+            (batch, cfg.audio.max_length, cfg.audio.num_mel_bins)), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = CLIPConfig.tiny()
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=1, learning_rate=1e-3)
+    model = TriCLIP(cfg)
+    batch = _tiny_batch(cfg)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch)
+    return cfg, tcfg, model, batch, state
+
+
+def test_mesh_and_partition_specs(tiny_setup):
+    cfg, tcfg, model, batch, state = tiny_setup
+    mesh = create_mesh((4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    specs = param_partition_specs(state.params)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    joined = {"/".join(str(getattr(k, "key", k)) for k in path): spec
+              for path, spec in flat}
+    assert any(s == P(None, "model") for s in joined.values())
+    # fc1 column-parallel, fc2 row-parallel
+    fc1 = [s for p, s in joined.items() if "fc1/kernel" in p]
+    fc2 = [s for p, s in joined.items() if "fc2/kernel" in p]
+    assert all(s == P(None, "model") for s in fc1) and fc1
+    assert all(s == P("model", None) for s in fc2) and fc2
+
+
+def test_sharded_train_step_matches_single_device(tiny_setup):
+    """DP+TP sharded loss/grads must match the unsharded computation.
+
+    Compares gradients (not post-Adam params): Adam normalizes per element,
+    so f32 reduction-order noise on near-zero grads would flip update signs
+    and mask real sharding bugs.
+    """
+    from synergy_tpu.train.state import loss_fn
+
+    cfg, tcfg, model, batch, state = tiny_setup
+    grad_fn = jax.jit(lambda p, b: jax.value_and_grad(loss_fn, has_aux=True)(
+        p, model, b, (1.0, 1.0, 1.0), 1))
+
+    (loss_s, _), grads_s = grad_fn(state.params, batch)
+
+    mesh = create_mesh((4, 2))
+    with mesh:
+        p_sh = param_shardings(mesh, state.params)
+        sh_params = jax.device_put(state.params, p_sh)
+        sh_batch = {k: jax.device_put(v, batch_sharding(mesh))
+                    for k, v in batch.items()}
+        (loss_m, _), grads_m = grad_fn(sh_params, sh_batch)
+
+    assert abs(float(loss_s) - float(loss_m)) < 1e-4
+    # absolute-or-relative: attention key-bias grads are mathematically zero
+    # (softmax shift invariance) and carry only f32 noise ~1e-8.
+    ok = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.max(jnp.abs(a - b)) <=
+                          jnp.maximum(1e-6, 1e-3 * jnp.max(jnp.abs(a)))),
+        grads_s, grads_m)
+    assert all(jax.tree_util.tree_leaves(ok))
+
+
+def test_local_negatives_differ_from_global(tiny_setup):
+    cfg, tcfg, model, batch, state = tiny_setup
+    step_g = make_train_step(model, tcfg, num_groups=1)
+    step_l = make_train_step(model, tcfg, num_groups=4)
+    _, mg = jax.jit(step_g)(state, batch)
+    _, ml = jax.jit(step_l)(state, batch)
+    # local negatives see 2-sample matrices -> much smaller loss
+    assert float(ml["loss"]) < float(mg["loss"])
+
+
+def test_grad_accumulation_semantics(tiny_setup):
+    """With MultiSteps(k), params change only every k microbatches."""
+    cfg, _, model, batch, _ = tiny_setup
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=2, learning_rate=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch)
+    step = jax.jit(make_train_step(model, tcfg))
+    p0 = state.params
+    state, _ = step(state, batch)
+    d1 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, state.params)))
+    assert d1 == 0.0  # first microbatch only accumulates
+    state, _ = step(state, batch)
+    d2 = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, state.params)))
+    assert d2 > 0.0  # second applies
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    cfg, tcfg, model, batch, state = tiny_setup
+    tag = ckpt.size_tag(True, False)
+    assert tag == "base_prompt"
+    ckpt.save_state(str(tmp_path), tag, state)
+    # per-tower export exists (C12 contract)
+    for m in ("vision", "text", "audio"):
+        tower, head = ckpt.load_tower(str(tmp_path), tag, m)
+        assert "kernel" in head
+    blank = create_train_state(jax.random.PRNGKey(1), model, tcfg, batch)
+    restored = ckpt.restore_state(str(tmp_path), tag, blank)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, restored.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    rebuilt = ckpt.load_tri_clip_params(str(tmp_path), tag)
+    assert float(rebuilt["logit_scale_IT"]) == pytest.approx(2.6592)
+
+
+def test_pretrain_cli_synthetic(tmp_path):
+    """Drive the real CLI main() end-to-end on the CPU mesh."""
+    from synergy_tpu.train.pretrain import main
+
+    state = main([
+        "--tiny", "true", "--synthetic", "true", "--synthetic_size", "16",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--accum_steps", "1", "--ckpt_dir", str(tmp_path / "ck"),
+        "--dtype", "float32",
+    ])
+    assert int(state.step) >= 1
+    assert ckpt.latest_step(str(tmp_path / "ck"), "base_prompt") is not None
