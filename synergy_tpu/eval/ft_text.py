@@ -1,0 +1,182 @@
+"""Text (GLUE) fine-tune evaluation CLI.
+
+Counterpart of ``python DT/FT_text_task.py --SEED --IS_BASE --IS_CAPTIONED
+--DATASET --EPOCHS --LR --BATCH_SIZE`` (reference DT/FT_text_task.py:108-618).
+The reference delegates each GLUE task to the HF Trainer; here each task runs
+through one plain jitted loop (eval/common.finetune_classifier) over a
+RobertaClassificationHead-style model built from the exported text tower.
+
+GLUE data loads via HF ``datasets`` when available locally; otherwise a
+deterministic synthetic text-classification task keeps the CLI runnable.
+Task metrics match the reference's compute_metrics blocks: accuracy; +F1 for
+MRPC/QQP; Matthews for CoLA; Pearson/Spearman for STS-B.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synergy_tpu.configs import CLIPConfig
+from synergy_tpu.eval import metrics_io
+from synergy_tpu.eval.common import (
+    TextClassifier, finetune_classifier, init_from_export,
+)
+from synergy_tpu.data.pipeline import get_tokenizer
+from synergy_tpu.train.checkpoint import size_tag
+from synergy_tpu.utils import set_seed, str2bool
+
+# task -> (sentence keys, num labels) (reference DT/FT_text_task.py per-task
+# blocks; 'stsb' is a regression task)
+GLUE_TASKS: Dict[str, Tuple[Tuple[str, ...], int]] = {
+    "cola": (("sentence",), 2),
+    "sst2": (("sentence",), 2),
+    "mrpc": (("sentence1", "sentence2"), 2),
+    "qqp": (("question1", "question2"), 2),
+    "stsb": (("sentence1", "sentence2"), 1),
+    "mnli": (("premise", "hypothesis"), 3),
+    "qnli": (("question", "sentence"), 2),
+    "rte": (("sentence1", "sentence2"), 2),
+    "wnli": (("sentence1", "sentence2"), 2),
+}
+
+
+def f1_score(preds: np.ndarray, labels: np.ndarray) -> float:
+    tp = float(((preds == 1) & (labels == 1)).sum())
+    fp = float(((preds == 1) & (labels == 0)).sum())
+    fn = float(((preds == 0) & (labels == 1)).sum())
+    denom = 2 * tp + fp + fn
+    return (2 * tp / denom * 100.0) if denom else 0.0
+
+
+def matthews_corr(preds: np.ndarray, labels: np.ndarray) -> float:
+    tp = float(((preds == 1) & (labels == 1)).sum())
+    tn = float(((preds == 0) & (labels == 0)).sum())
+    fp = float(((preds == 1) & (labels == 0)).sum())
+    fn = float(((preds == 0) & (labels == 1)).sum())
+    denom = np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return float((tp * tn - fp * fn) / denom * 100.0) if denom else 0.0
+
+
+def pearson_spearman(preds: np.ndarray, labels: np.ndarray) -> Tuple[float, float]:
+    def corr(a, b):
+        a = a - a.mean(); b = b - b.mean()
+        d = np.sqrt((a * a).sum() * (b * b).sum())
+        return float((a * b).sum() / d * 100.0) if d else 0.0
+
+    ranks = lambda x: np.argsort(np.argsort(x)).astype(np.float64)
+    return corr(preds, labels), corr(ranks(preds), ranks(labels))
+
+
+def load_glue(task: str, seed: int):
+    """(train_texts, train_labels, test_texts, test_labels, synthetic)."""
+    keys, _ = GLUE_TASKS[task]
+    try:
+        from datasets import load_dataset
+
+        ds = load_dataset("glue", task)
+        val_key = "validation_matched" if task == "mnli" else "validation"
+
+        def pack(split):
+            texts = [" </s></s> ".join(str(row[k]) for k in keys)
+                     for row in split]
+            labels = np.asarray(split["label"])
+            return texts, labels
+
+        tr_t, tr_l = pack(ds["train"])
+        te_t, te_l = pack(ds[val_key])
+        return tr_t, tr_l, te_t, te_l, False
+    except Exception:
+        rng = np.random.default_rng(seed)
+        pos = ["great wonderful amazing", "delightful and moving",
+               "a true joy to behold", "superb acting and writing"]
+        neg = ["terrible boring awful", "a complete waste of time",
+               "dull and uninspired", "clumsy writing and flat acting"]
+        n = 128
+        labels = rng.integers(0, 2, n)
+        texts = [f"{'this is ' + (pos[i % 4] if l else neg[i % 4])} sample {i}"
+                 for i, l in enumerate(labels)]
+        if GLUE_TASKS[task][1] == 1:  # regression surrogate
+            labels = labels.astype(np.float32) * 5.0
+        return texts[: n // 2], labels[: n // 2], texts[n // 2:], labels[n // 2:], True
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="GLUE fine-tune evaluation")
+    p.add_argument("--SEED", type=int, default=17)
+    p.add_argument("--IS_BASE", type=str2bool, default=True)
+    p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
+    p.add_argument("--DATASET", type=str, default="sst2",
+                   choices=sorted(GLUE_TASKS))
+    p.add_argument("--EPOCHS", type=int, default=3)
+    p.add_argument("--LR", type=float, default=2e-5)
+    p.add_argument("--BATCH_SIZE", type=int, default=16)
+    p.add_argument("--seq_max_length", type=int, default=128)
+    p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
+    p.add_argument("--vocab_dir", type=str, default=None)
+    p.add_argument("--metric_path", type=str,
+                   default=metrics_io.METRIC_FILES["ft_text"])
+    p.add_argument("--tiny", type=str2bool, default=False)
+    p.add_argument("--max_train", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    set_seed(args.SEED)
+    task = args.DATASET
+    keys, num_labels = GLUE_TASKS[task]
+    cfg = CLIPConfig.tiny() if args.tiny else (
+        CLIPConfig.base() if args.IS_BASE else CLIPConfig.large())
+
+    tr_t, tr_l, te_t, te_l, synthetic = load_glue(task, args.SEED)
+    if args.max_train:
+        tr_t, tr_l = tr_t[: args.max_train], tr_l[: args.max_train]
+    tokenizer = get_tokenizer(args.vocab_dir)
+    seq = min(args.seq_max_length, cfg.text.max_position_embeddings - 2)
+    tr = tokenizer(tr_t, max_length=seq)
+    te = tokenizer(te_t, max_length=seq)
+
+    is_regression = num_labels == 1
+    model = TextClassifier(cfg.text, num_labels)
+    params = model.init(jax.random.PRNGKey(args.SEED),
+                        jnp.ones((1, seq), jnp.int32),
+                        jnp.ones((1, seq), jnp.int32))["params"]
+    tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
+    params = init_from_export(params, args.ckpt_dir, tag, "text",
+                              use_projection=False)
+
+    labels_train = tr_l if not is_regression else tr_l.astype(np.float32)
+    out = finetune_classifier(
+        model, params,
+        (tr["input_ids"], tr["attention_mask"]), labels_train,
+        (te["input_ids"], te["attention_mask"]), te_l,
+        epochs=args.EPOCHS, batch_size=args.BATCH_SIZE, lr=args.LR,
+        seed=args.SEED, loss="mse" if is_regression else "ce",
+        log_prefix=f"[ft_text:{task}]")
+
+    preds = out["preds"]
+    te_l = np.asarray(te_l)[: len(preds)]
+    scores: Dict[str, float] = {}
+    if is_regression:
+        p_r, s_r = pearson_spearman(preds, te_l)
+        scores = {"pearson": p_r, "spearman": s_r}
+    else:
+        scores["accuracy"] = float((preds == te_l).mean() * 100.0)
+        if task in ("mrpc", "qqp"):
+            scores["f1"] = f1_score(preds, te_l)
+        if task == "cola":
+            scores["matthews"] = matthews_corr(preds, te_l)
+    print(f"[ft_text] {task} " +
+          " ".join(f"{k}={v:.2f}" for k, v in scores.items()) +
+          (" (synthetic data)" if synthetic else ""))
+    metrics_io.save_metric(args.metric_path, tag, task, args.SEED, scores)
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Evaluation-suite tests: metric accumulators, ZS protocol, FT loops — all
+driven through the real CLIs in tiny/synthetic mode on the CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_labels_tables():
+    from synergy_tpu.eval import labels as L
+
+    assert len(L.CIFAR10) == 10
+    assert len(L.CIFAR100) == 100
+    assert len(L.OXFORD_PETS) == 37
+    assert len(L.FLOWERS102) == 102
+    assert len(L.ESC50) == 50
+    assert len(L.URBANSOUND8K) == 10
+    assert L.clean_label("sea_waves") == "sea waves"
+    assert len(L.imagenet_labels("/nonexistent.json")) == 1000
+
+
+def test_metrics_io_accumulates(tmp_path):
+    from synergy_tpu.eval.metrics_io import save_metric
+
+    p = str(tmp_path / "M.json")
+    save_metric(p, "base_prompt", "cifar-10", 17, {"accuracy": 90.0})
+    data = save_metric(p, "base_prompt", "cifar-10", 18, {"accuracy": 92.0})
+    entry = data["base_prompt"]["cifar-10"]
+    assert entry["seeds"] == [17, 18]
+    assert entry["scores"]["accuracy"]["mean"] == pytest.approx(91.0)
+    assert entry["scores"]["accuracy"]["std"] == pytest.approx(1.0)
+    # file is valid json on disk
+    assert json.load(open(p))
+
+
+def test_glue_metric_functions():
+    from synergy_tpu.eval.ft_text import (
+        f1_score, matthews_corr, pearson_spearman,
+    )
+
+    preds = np.array([1, 1, 0, 0, 1])
+    labels = np.array([1, 0, 0, 0, 1])
+    assert f1_score(preds, labels) == pytest.approx(80.0)
+    assert 0 < matthews_corr(preds, labels) <= 100
+    p, s = pearson_spearman(np.array([1.0, 2, 3, 4]), np.array([1.1, 1.9, 3.2, 3.8]))
+    assert p > 99 and s == pytest.approx(100.0)
+
+
+def test_zs_image_cli(tmp_path):
+    from synergy_tpu.eval.zs_image import main
+
+    m = main(["--tiny", "true", "--DATASET", "cifar-10", "--try_num", "16",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--data_root", str(tmp_path / "nodata"),
+              "--metric_path", str(tmp_path / "ZS_IMG.json")])
+    assert 0.0 <= m["top1"] <= 100.0 and m["top5"] >= m["top1"]
+    assert os.path.exists(tmp_path / "ZS_IMG.json")
+
+
+def test_zs_audio_cli(tmp_path):
+    from synergy_tpu.eval.zs_audio import main
+
+    m = main(["--tiny", "true", "--DATASET", "esc50", "--try_num", "8",
+              "--FOLD", "1",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--data_root", str(tmp_path / "nodata"),
+              "--metric_path", str(tmp_path / "ZS_AUD.json")])
+    assert 0.0 <= m["top1"] <= 100.0
+
+
+def test_zs_task_dispatch(tmp_path):
+    from synergy_tpu.eval.zs_task import main
+
+    m = main(["--tiny", "true", "--DATASET", "cifar-10", "--try_num", "8",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--data_root", str(tmp_path / "nodata")])
+    assert "top1" in m
+    with pytest.raises(ValueError):
+        main(["--tiny", "true", "--DATASET", "cifar-10", "--MM", "TA",
+              "--ckpt_dir", str(tmp_path / "none")])
+
+
+def test_ft_image_cli(tmp_path):
+    from synergy_tpu.eval.ft_image import main
+
+    m = main(["--tiny", "true", "--DATASET", "cifar-10", "--EPOCHS", "1",
+              "--BATCH_SIZE", "16", "--max_train", "64",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--data_root", str(tmp_path / "nodata"),
+              "--metric_path", str(tmp_path / "M_IMG.json")])
+    assert 0.0 <= m["accuracy"] <= 100.0
+
+
+def test_ft_audio_cli(tmp_path):
+    from synergy_tpu.eval.ft_audio import main
+
+    m = main(["--tiny", "true", "--DATASET", "esc50", "--EPOCHS", "1",
+              "--BATCH_SIZE", "8", "--FOLD", "1",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--data_root", str(tmp_path / "nodata"),
+              "--metric_path", str(tmp_path / "M_AUD.json")])
+    assert 0.0 <= m["accuracy"] <= 100.0
+
+
+def test_ft_text_cli_classification(tmp_path):
+    from synergy_tpu.eval.ft_text import main
+
+    m = main(["--tiny", "true", "--DATASET", "sst2", "--EPOCHS", "2",
+              "--BATCH_SIZE", "8",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--metric_path", str(tmp_path / "M_TXT.json")])
+    assert "accuracy" in m
+
+
+def test_ft_text_cli_regression(tmp_path):
+    from synergy_tpu.eval.ft_text import main
+
+    m = main(["--tiny", "true", "--DATASET", "stsb", "--EPOCHS", "1",
+              "--BATCH_SIZE", "8",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--metric_path", str(tmp_path / "M_TXT.json")])
+    assert "pearson" in m and "spearman" in m
