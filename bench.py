@@ -55,19 +55,23 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch_np)
 
     if args.mode == "train":
-        step = jax.jit(make_train_step(model, tcfg), donate_argnums=(0,))
+        # K steps inside ONE device program (lax.scan): measures pure device
+        # throughput, immune to per-dispatch tunnel latency.
+        base_step = make_train_step(model, tcfg)
 
-        def run_once(state):
-            state, metrics = step(state, batch_np)
-            return state, metrics
+        def run_k(state, k):
+            def body(s, _):
+                s, metrics = base_step(s, batch_np)
+                return s, metrics["loss"]
 
-        for _ in range(args.warmup):
-            state, metrics = run_once(state)
-        float(metrics["loss"])  # force full sync (host transfer)
+            return jax.lax.scan(body, state, None, length=k)
+
+        run_k = jax.jit(run_k, static_argnums=(1,), donate_argnums=(0,))
+        state, losses = run_k(state, args.steps)  # compile + warmup
+        float(losses[-1])  # force full sync (host transfer)
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            state, metrics = run_once(state)
-        float(metrics["loss"])
+        state, losses = run_k(state, args.steps)
+        float(losses[-1])
         dt = time.perf_counter() - t0
     else:
         fwd = jax.jit(lambda p, b: model.apply(

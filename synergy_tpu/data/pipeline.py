@@ -77,9 +77,17 @@ class CSVTriModalDataset:
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
         image = np.asarray(img, np.float32) / 255.0
 
-        wave, sr = A.read_wav(row.wav_path)
-        if sr != A.SAMPLE_RATE:
-            wave = A.resample(wave, sr, A.SAMPLE_RATE)
+        from synergy_tpu.runtime import get_audio_frontend
+
+        fe = get_audio_frontend()
+        if fe is not None:  # native C++ decode+resample (GIL released)
+            wave, sr = fe.read_wav(row.wav_path)
+            if sr != A.SAMPLE_RATE:
+                wave = fe.resample(wave, sr, A.SAMPLE_RATE)
+        else:
+            wave, sr = A.read_wav(row.wav_path)
+            if sr != A.SAMPLE_RATE:
+                wave = A.resample(wave, sr, A.SAMPLE_RATE)
         if self.augment_audio:
             wave = A.audio_augment(wave, apply_rate=self.apply_rate, rng=self.rng)
         wave = np.asarray(wave, np.float32)

@@ -1,0 +1,304 @@
+// Native audio front-end: WAV decode, polyphase resampling, Kaldi-style
+// log-mel fbank. C ABI for ctypes.
+//
+// TPU-native replacement for the reference's native audio dependency surface
+// (SURVEY §2.2): librosa/soxr resampling (reference dataset.py:143-145) and
+// the torchaudio Kaldi fbank behind the AST AutoProcessor (dataset.py:146-149).
+// The fbank numerics mirror synergy_tpu/data/audio.py (same framing, DC
+// offset removal, preemphasis 0.97, periodic=False Hann, 512-pt rFFT, power
+// spectrum, 128 Kaldi-mel filters 20Hz..8kHz, log floor 1.1921e-7, pad to
+// 1024 frames, (x - mean)/(2*std) normalization); parity is asserted in
+// tests/test_runtime.py.
+//
+// Build: g++ -O3 -std=c++17 -fPIC -shared audio_frontend.cpp -o libaudiofe.so
+
+#include <algorithm>
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+constexpr int kSampleRate = 16000;
+constexpr int kFrameLen = 400;
+constexpr int kHop = 160;
+constexpr int kFft = 512;
+constexpr int kMel = 128;
+constexpr int kMaxFrames = 1024;
+constexpr double kPreemph = 0.97;
+constexpr double kMelFloor = 1.192092955078125e-07;
+constexpr double kMean = -4.2677393;
+constexpr double kStd = 4.5689974;
+
+double hz_to_mel(double f) { return 1127.0 * std::log(1.0 + f / 700.0); }
+
+struct Frontend {
+  std::vector<double> window;             // 400
+  std::vector<double> mel;                // 257 x 128 (dense, for reference)
+  // sparse mel: per frequency bin, the short run of nonzero filters
+  std::vector<int> mel_start;             // 257
+  std::vector<std::vector<double>> mel_vals;  // 257 x run_len
+  std::vector<std::complex<double>> tw;   // FFT twiddles
+  std::vector<int> bitrev;
+
+  Frontend() {
+    window.resize(kFrameLen);
+    for (int i = 0; i < kFrameLen; ++i) {
+      window[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (kFrameLen - 1));
+    }
+    // Kaldi mel filters, triangularized in mel space, norm=None
+    int bins = kFft / 2 + 1;
+    mel.assign(bins * kMel, 0.0);
+    double mel_min = hz_to_mel(20.0);
+    double mel_max = hz_to_mel(kSampleRate / 2.0);
+    std::vector<double> pts(kMel + 2);
+    for (int i = 0; i < kMel + 2; ++i) {
+      pts[i] = mel_min + (mel_max - mel_min) * i / (kMel + 1);
+    }
+    double bin_width = double(kSampleRate) / kFft;
+    mel_start.resize(bins);
+    mel_vals.resize(bins);
+    for (int b = 0; b < bins; ++b) {
+      double m = hz_to_mel(bin_width * b);
+      int first = -1, last = -1;
+      for (int j = 0; j < kMel; ++j) {
+        double lo = pts[j], c = pts[j + 1], hi = pts[j + 2];
+        double up = (m - lo) / (c - lo);
+        double down = (hi - m) / (hi - c);
+        double v = std::max(0.0, std::min(up, down));
+        mel[b * kMel + j] = v;
+        if (v > 0.0) {
+          if (first < 0) first = j;
+          last = j;
+        }
+      }
+      mel_start[b] = first < 0 ? 0 : first;
+      if (first >= 0) {
+        mel_vals[b].assign(mel.begin() + b * kMel + first,
+                           mel.begin() + b * kMel + last + 1);
+      }
+    }
+    // iterative radix-2 FFT tables for kFft
+    bitrev.resize(kFft);
+    int log2n = 9;
+    for (int i = 0; i < kFft; ++i) {
+      int r = 0;
+      for (int j = 0; j < log2n; ++j) r |= ((i >> j) & 1) << (log2n - 1 - j);
+      bitrev[i] = r;
+    }
+    tw.resize(kFft / 2);
+    for (int i = 0; i < kFft / 2; ++i) {
+      tw[i] = std::polar(1.0, -2.0 * M_PI * i / kFft);
+    }
+  }
+
+  void fft512(std::complex<double>* a) const {
+    for (int i = 0; i < kFft; ++i) {
+      int r = bitrev[i];
+      if (i < r) std::swap(a[i], a[r]);
+    }
+    for (int len = 2; len <= kFft; len <<= 1) {
+      int half = len >> 1;
+      int step = kFft / len;
+      for (int i = 0; i < kFft; i += len) {
+        for (int j = 0; j < half; ++j) {
+          auto u = a[i + j];
+          auto v = a[i + j + half] * tw[j * step];
+          a[i + j] = u + v;
+          a[i + j + half] = u - v;
+        }
+      }
+    }
+  }
+};
+
+Frontend* as_fe(void* h) { return static_cast<Frontend*>(h); }
+
+}  // namespace
+
+extern "C" {
+
+void* af_create() { return new Frontend(); }
+void af_destroy(void* h) { delete as_fe(h); }
+
+// Mono float32 samples from a PCM/float WAV. Returns sample count (clipped to
+// max_samples) or -1 on error; *sr_out receives the sample rate.
+int32_t af_read_wav(const char* path, float* out, int32_t max_samples,
+                    int32_t* sr_out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  auto rd_u32 = [&](uint32_t* v) { return std::fread(v, 4, 1, f) == 1; };
+  auto rd_u16 = [&](uint16_t* v) { return std::fread(v, 2, 1, f) == 1; };
+  uint32_t riff, size, wave;
+  if (!rd_u32(&riff) || !rd_u32(&size) || !rd_u32(&wave) ||
+      riff != 0x46464952u || wave != 0x45564157u) {
+    std::fclose(f);
+    return -1;
+  }
+  uint16_t fmt_code = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  int32_t n_out = -1;
+  while (true) {
+    uint32_t tag, chunk_size;
+    if (!rd_u32(&tag) || !rd_u32(&chunk_size)) break;
+    if (tag == 0x20746d66u) {  // "fmt "
+      uint16_t block_align;
+      uint32_t byte_rate;
+      rd_u16(&fmt_code);
+      rd_u16(&channels);
+      rd_u32(&sr);
+      rd_u32(&byte_rate);
+      rd_u16(&block_align);
+      rd_u16(&bits);
+      std::fseek(f, chunk_size - 16, SEEK_CUR);
+    } else if (tag == 0x61746164u) {  // "data"
+      int bytes_per = bits / 8;
+      if (!channels || !bytes_per) break;
+      int32_t n_frames = chunk_size / (bytes_per * channels);
+      std::vector<uint8_t> raw(chunk_size);
+      if (std::fread(raw.data(), 1, chunk_size, f) != chunk_size) break;
+      n_out = std::min(n_frames, max_samples);
+      for (int32_t i = 0; i < n_out; ++i) {
+        double acc = 0.0;
+        for (int c = 0; c < channels; ++c) {
+          const uint8_t* p = raw.data() + (size_t(i) * channels + c) * bytes_per;
+          double v = 0.0;
+          if (fmt_code == 3 && bits == 32) {  // IEEE float
+            float fv;
+            std::memcpy(&fv, p, 4);
+            v = fv;
+          } else if (bits == 16) {
+            int16_t s;
+            std::memcpy(&s, p, 2);
+            v = s / 32768.0;
+          } else if (bits == 32) {
+            int32_t s;
+            std::memcpy(&s, p, 4);
+            v = s / 2147483648.0;
+          } else if (bits == 8) {
+            v = (p[0] - 128) / 128.0;
+          }
+          acc += v;
+        }
+        out[i] = static_cast<float>(acc / channels);
+      }
+      break;
+    } else {
+      std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
+    }
+  }
+  std::fclose(f);
+  if (sr_out) *sr_out = static_cast<int32_t>(sr);
+  return n_out;
+}
+
+// Polyphase resampling with a Kaiser-windowed sinc low-pass (soxr/librosa
+// equivalent quality). Returns output length (<= max_out).
+int32_t af_resample(void* /*h*/, const float* in, int32_t n_in, int32_t sr_in,
+                    int32_t sr_out, float* out, int32_t max_out) {
+  if (sr_in == sr_out) {
+    int32_t n = std::min(n_in, max_out);
+    std::memcpy(out, in, n * sizeof(float));
+    return n;
+  }
+  int32_t g = std::gcd(sr_in, sr_out);
+  int32_t up = sr_out / g, down = sr_in / g;
+  // scipy.signal.resample_poly filter design: half length 10*max(up,down),
+  // cutoff 1/max at the upsampled Nyquist, Kaiser beta 5.0, unity DC gain
+  int32_t half = 10 * std::max(up, down);
+  double cutoff = 0.5 / std::max(up, down);
+  double beta = 5.0;
+  auto bessel_i0 = [](double x) {
+    double s = 1.0, t = 1.0;
+    for (int k = 1; k < 32; ++k) {
+      t *= (x / (2.0 * k)) * (x / (2.0 * k));
+      s += t;
+      if (t < 1e-16 * s) break;
+    }
+    return s;
+  };
+  int32_t taps = 2 * half + 1;
+  std::vector<double> h(taps);
+  double i0b = bessel_i0(beta);
+  double sum = 0.0;
+  for (int32_t i = 0; i < taps; ++i) {
+    double t = i - half;
+    double sinc = (t == 0.0) ? 2.0 * cutoff
+                             : std::sin(2.0 * M_PI * cutoff * t) / (M_PI * t);
+    double w = bessel_i0(beta * std::sqrt(std::max(
+                   0.0, 1.0 - (t / half) * (t / half)))) / i0b;
+    h[i] = sinc * w;
+    sum += h[i];
+  }
+  for (double& v : h) v *= up / sum;  // firwin scale=True, then *up
+  int64_t n_out64 = (int64_t(n_in) * up + down - 1) / down;
+  int32_t n_out = static_cast<int32_t>(std::min<int64_t>(n_out64, max_out));
+  for (int32_t o = 0; o < n_out; ++o) {
+    // output sample o corresponds to upsampled index o*down
+    int64_t pos = int64_t(o) * down;  // position in upsampled grid
+    double acc = 0.0;
+    // upsampled grid: nonzero inputs at multiples of up
+    int64_t k_min = (pos - half + up - 1);
+    k_min = k_min < 0 ? 0 : (k_min + up - 1) / up;
+    int64_t k_max = std::min<int64_t>(n_in - 1, (pos + half) / up);
+    for (int64_t k = k_min; k <= k_max; ++k) {
+      int64_t tap = pos - k * up + half;
+      if (tap >= 0 && tap < taps) acc += in[k] * h[tap];
+    }
+    out[o] = static_cast<float>(acc);
+  }
+  return n_out;
+}
+
+// Waveform -> (max_frames, 128) normalized log-mel fbank.
+void af_fbank(void* h, const float* wave, int32_t n, float* out,
+              int32_t max_frames, int32_t normalize) {
+  Frontend* fe = as_fe(h);
+  int32_t nf = (n >= kFrameLen) ? 1 + (n - kFrameLen) / kHop : 0;
+  nf = std::min(nf, max_frames);
+  std::vector<std::complex<double>> buf(kFft);
+  std::vector<double> frame(kFrameLen);
+  for (int32_t t = 0; t < nf; ++t) {
+    const float* src = wave + int64_t(t) * kHop;
+    double mean = 0.0;
+    for (int i = 0; i < kFrameLen; ++i) mean += src[i];
+    mean /= kFrameLen;
+    for (int i = 0; i < kFrameLen; ++i) frame[i] = src[i] - mean;
+    for (int i = kFrameLen - 1; i >= 1; --i) {
+      frame[i] -= kPreemph * frame[i - 1];
+    }
+    frame[0] *= 1.0 - kPreemph;
+    for (int i = 0; i < kFrameLen; ++i) {
+      buf[i] = frame[i] * fe->window[i];
+    }
+    std::fill(buf.begin() + kFrameLen, buf.end(), 0.0);
+    fe->fft512(buf.data());
+    float* row = out + int64_t(t) * kMel;
+    double acc[kMel] = {0.0};
+    for (int b = 0; b <= kFft / 2; ++b) {
+      const auto& vals = fe->mel_vals[b];
+      if (vals.empty()) continue;
+      double p = std::norm(buf[b]);
+      double* dst = acc + fe->mel_start[b];
+      for (size_t j = 0; j < vals.size(); ++j) dst[j] += p * vals[j];
+    }
+    for (int j = 0; j < kMel; ++j) {
+      row[j] = static_cast<float>(std::log(std::max(acc[j], kMelFloor)));
+    }
+  }
+  for (int32_t t = nf; t < max_frames; ++t) {
+    std::memset(out + int64_t(t) * kMel, 0, kMel * sizeof(float));
+  }
+  if (normalize) {
+    int64_t total = int64_t(max_frames) * kMel;
+    for (int64_t i = 0; i < total; ++i) {
+      out[i] = static_cast<float>((out[i] - kMean) / (2.0 * kStd));
+    }
+  }
+}
+
+}  // extern "C"

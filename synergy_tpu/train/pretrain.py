@@ -77,6 +77,9 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--tiny", type=str2bool, default=False,
                    help="tiny config (smoke tests)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace for epoch 0 here "
+                        "(view with TensorBoard)")
     return p.parse_args(argv)
 
 
@@ -175,12 +178,20 @@ def main(argv=None):
             train_loader.set_epoch(epoch)
             t0 = time.time()
             metrics_list = []
+            profiling = args.profile_dir and epoch == 0
+            if profiling:
+                jax.profiler.start_trace(args.profile_dir)
             for step_idx, batch_np in enumerate(prefetch(iter(train_loader))):
                 if args.steps_per_epoch and step_idx >= args.steps_per_epoch:
                     break
                 aug_key, step_key = jax.random.split(aug_key)
-                state, metrics = train_step(state, put(batch_np), step_key)
+                with jax.profiler.StepTraceAnnotation("train", step_num=step_idx):
+                    state, metrics = train_step(state, put(batch_np), step_key)
                 metrics_list.append(metrics)
+            if profiling:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics_list[-1])
+                jax.profiler.stop_trace()
             if not metrics_list:
                 raise RuntimeError("empty training epoch (batch > dataset?)")
             means = {k: float(np.mean([np.asarray(m[k]) for m in metrics_list]))

@@ -1,0 +1,98 @@
+"""Native C++ audio front-end parity vs the Python/JAX reference paths."""
+
+import wave as wavmod
+
+import numpy as np
+import pytest
+
+from synergy_tpu.data import audio as A
+
+
+@pytest.fixture(scope="module")
+def fe():
+    from synergy_tpu.runtime import AudioFrontend
+
+    return AudioFrontend()
+
+
+def test_native_builds(fe):
+    assert fe is not None
+
+
+def test_wav_read_parity(tmp_path, fe, rng):
+    data = (rng.standard_normal(12000) * 0.3).astype(np.float32)
+    pcm = (np.clip(data, -1, 1) * 32767).astype("<i2")
+    p = str(tmp_path / "t.wav")
+    with wavmod.open(p, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        stereo = np.stack([pcm, pcm], axis=1).reshape(-1)
+        w.writeframes(stereo.tobytes())
+    ours, sr = fe.read_wav(p)
+    ref, sr2 = A.read_wav(p)
+    assert sr == sr2 == 22050
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_resample_tone(fe):
+    t = np.arange(22050) / 22050.0
+    wave = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = fe.resample(wave, 22050, 16000)
+    assert abs(len(out) - 16000) <= 2
+    spec = np.abs(np.fft.rfft(out[:16000]))
+    assert abs(int(np.argmax(spec)) - 440) <= 2
+    # amplitude preserved within a few percent
+    mid = out[2000:14000]
+    assert 0.95 < mid.max() < 1.05
+
+
+def test_resample_matches_scipy(fe, rng):
+    wave = rng.standard_normal(22050).astype(np.float32) * 0.1
+    ours = fe.resample(wave, 22050, 16000)
+    ref = A.resample(wave, 22050, 16000)
+    n = min(len(ours), len(ref))
+    # different FIR designs; require close agreement away from the edges
+    err = np.abs(ours[100:n - 100] - ref[100:n - 100])
+    assert err.max() < 5e-3, err.max()
+
+
+def test_fbank_parity_with_reference(fe, rng):
+    for n in (16000, 164080, 399):
+        wave = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        ours = fe.fbank(wave)
+        ref = A.extract_fbank_f64(wave)
+        assert ours.shape == ref.shape == (1024, 128)
+        np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_load_for_ast(tmp_path, fe, rng):
+    data = (rng.standard_normal(22050) * 0.2).astype(np.float32)
+    pcm = (np.clip(data, -1, 1) * 32767).astype("<i2")
+    p = str(tmp_path / "t.wav")
+    with wavmod.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(pcm.tobytes())
+    fb = fe.load_for_ast(p)
+    assert fb.shape == (1024, 128)
+    assert np.isfinite(fb).all()
+
+
+def test_native_speed_vs_python(fe, rng):
+    """The native fbank should beat the per-call Python path comfortably."""
+    import time
+
+    wave = rng.standard_normal(164080).astype(np.float32)
+    fe.fbank(wave)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        fe.fbank(wave)
+    native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        A.extract_fbank_f64(wave)
+    python = time.perf_counter() - t0
+    print(f"native {native:.3f}s python {python:.3f}s")
+    assert native < python
