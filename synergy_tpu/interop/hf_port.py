@@ -143,11 +143,51 @@ def port_audio(hf_model) -> Dict[str, Any]:
     return params
 
 
-def port_tri_clip(torch_state_dict: Dict[str, Any], hf_vision, hf_text,
-                  hf_audio) -> Dict[str, Any]:
-    """Full reference Tri_CLIP checkpoint ('model_state_dict' from
-    main_pretraining.py save_model) -> TriCLIP (flax) params."""
+class _SubDict:
+    """View of a torch state dict under a prefix, presenting .state_dict()/
+    .config like an HF module so the port_* functions can consume it."""
+
+    def __init__(self, sd: Dict[str, Any], prefix: str, num_hidden_layers: int):
+        self._sd = {k[len(prefix):]: v for k, v in sd.items()
+                    if k.startswith(prefix)}
+
+        class _Cfg:
+            pass
+
+        self.config = _Cfg()
+        self.config.num_hidden_layers = num_hidden_layers
+
+    def state_dict(self):
+        return self._sd
+
+
+def _count_layers(sd: Dict[str, Any], pattern: str) -> int:
+    import re
+
+    layers = {int(m.group(1)) for k in sd
+              if (m := re.match(pattern, k)) is not None}
+    return max(layers) + 1 if layers else 0
+
+
+def port_tri_clip(torch_state_dict: Dict[str, Any], hf_vision=None,
+                  hf_text=None, hf_audio=None) -> Dict[str, Any]:
+    """Full reference Tri_CLIP state dict ('model_state_dict' inside the
+    CLIP_model_{size}_{captiontype}.tar written by main_pretraining.py:31-59)
+    -> TriCLIP (flax) params. HF modules are optional; by default the towers
+    are read from the flat state dict itself."""
     sd = torch_state_dict
+    if hf_vision is None:
+        hf_vision = _SubDict(sd, "vision_model.", _count_layers(
+            sd, r"vision_model\.vision_model\.encoder\.layers\.(\d+)\."))
+        # port_vision expects the 'vision_model.' HF prefix intact
+        hf_vision._sd = {k[len("vision_model."):]: v for k, v in sd.items()
+                         if k.startswith("vision_model.")}
+    if hf_text is None:
+        hf_text = _SubDict(sd, "text_model.", _count_layers(
+            sd, r"text_model\.encoder\.layer\.(\d+)\."))
+    if hf_audio is None:
+        hf_audio = _SubDict(sd, "audio_model.", _count_layers(
+            sd, r"audio_model\.encoder\.layer\.(\d+)\."))
     return {
         "vision": port_vision(hf_vision),
         "text": port_text(hf_text),
@@ -159,3 +199,13 @@ def port_tri_clip(torch_state_dict: Dict[str, Any], hf_vision, hf_text,
         "logit_scale_TA": _np(sd["logit_scale_for_TA"]),
         "logit_scale_AI": _np(sd["logit_scale_for_AI"]),
     }
+
+
+def load_reference_checkpoint(tar_path: str) -> Dict[str, Any]:
+    """Load a reference ``CLIP_model_*.tar`` (torch.save dict with
+    'model_state_dict', main_pretraining.py:45-47) into TriCLIP params."""
+    import torch
+
+    blob = torch.load(tar_path, map_location="cpu", weights_only=True)
+    sd = blob.get("model_state_dict", blob)
+    return port_tri_clip(sd)

@@ -1,14 +1,17 @@
-"""Fused flash-attention (forward) Pallas TPU kernel.
+"""Fused flash-attention Pallas TPU kernels (forward + backward).
 
 Replaces the cuDNN attention inside the reference's HF towers (SURVEY §2.2)
 for the long-sequence audio tower (852/1214 tokens; reference config.py:139,
-329). Flash-attention-2 style: online softmax over key blocks, f32
-accumulators, O(seq) memory. Backward recomputes through the XLA attention
-path under ``jax.custom_vjp`` (sequences here are short enough that the
-recompute is cheaper than a bespoke bwd kernel; revisit if seq grows).
+329). Flash-attention-2 style:
+  * forward: online softmax over key blocks, f32 accumulators, saves the
+    per-row logsumexp;
+  * backward: two kernels — dQ (grid over query blocks) and dK/dV (grid over
+    key blocks) — recomputing probabilities from the saved logsumexp, so no
+    O(S^2) tensor is ever materialized.
 
-Supports an optional additive bias broadcastable to (B, H, Sq, Sk) — used for
-key-padding masks — by folding it into the logits block-by-block.
+Optional additive bias (key-padding masks) falls back to the XLA path; the
+towers that need masks (text, 32 tokens) are below the fused kernel's payoff
+threshold anyway (ops/attention.py routing).
 """
 
 from __future__ import annotations
@@ -28,8 +31,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
-                  sm_scale: float):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
+                block_k: int, sm_scale: float):
     q = q_ref[0].astype(jnp.float32) * sm_scale        # (block_q, d)
     block_q, d = q.shape
     kv_pad = k_ref.shape[1]
@@ -39,9 +46,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (block_q, block_k)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -50,19 +56,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   block_q: int = 128, block_k: int = 128) -> jnp.ndarray:
+def _flash_forward(q, k, v, block_q: int = 128, block_k: int = 128):
     b, h, sq, d = q.shape
     kv_len = k.shape[2]
     sq_pad = _round_up(sq, block_q)
@@ -71,16 +77,14 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-    # fold (batch, heads) into one grid axis
     qp = qp.reshape(b * h, sq_pad, d_pad)
     kp = kp.reshape(b * h, kv_pad, d_pad)
     vp = vp.reshape(b * h, kv_pad, d_pad)
 
     grid = (b * h, sq_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, kv_len=kv_len, block_k=block_k,
-        sm_scale=1.0 / (d ** 0.5))
-    out = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, block_k=block_k,
+                               sm_scale=1.0 / (d ** 0.5))
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -91,18 +95,155 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, kv_pad, d_pad), lambda bh, qb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * kv_pad * d_pad,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * sq_pad * kv_pad,
         ),
     )(qp, kp, vp)
-    out = out.reshape(b, h, sq_pad, d_pad)
-    return out[:, :, :sq, :d]
+    return out, lse, (sq_pad, kv_pad, d_pad)
 
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, kv_len: int, block_k: int, sm_scale: float):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    block_q, d = q.shape
+    kv_pad = k_ref.shape[1]
+    num_kb = kv_pad // block_k
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, q_len: int, kv_len: int, block_q: int,
+                    sm_scale: float):
+    k = k_ref[0].astype(jnp.float32)   # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    kb = pl.program_id(1)
+    q_pad = q_ref.shape[1]
+    num_qb = q_pad // block_q
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * block_q
+        s = jnp.where((col < kv_len) & (row < q_len), s, NEG_INF)
+        p = jnp.exp(s - lse)  # rows past q_len have lse=0, p=exp(NEG_INF)=0
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, block_q: int = 128,
+                    block_k: int = 128):
+    b, h, sq, d = q.shape
+    kv_len = k.shape[2]
+    sq_pad = _round_up(sq, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    d_pad = _round_up(d, 128)
+    pad_q = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sq_pad - sq),
+                                  (0, d_pad - d))).reshape(b * h, sq_pad, d_pad)
+    pad_k = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, kv_pad - kv_len),
+                                  (0, d_pad - d))).reshape(b * h, kv_pad, d_pad)
+    qp, dop = pad_q(q), pad_q(g)
+    op = pad_q(out)
+    kp, vp = pad_k(k), pad_k(v)
+    lse_p = lse  # already (b*h, sq_pad)
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+
+    sm_scale = 1.0 / (d ** 0.5)
+    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
+                          memory_space=pltpu.VMEM)
+    qfull_spec = pl.BlockSpec((1, sq_pad, d_pad), lambda bh, xb: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+    kfull_spec = pl.BlockSpec((1, kv_pad, d_pad), lambda bh, qb: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d_pad), lambda bh, kb: (bh, kb, 0),
+                          memory_space=pltpu.VMEM)
+    lse_q_spec = pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb),
+                              memory_space=pltpu.VMEM)
+    lse_full_spec = pl.BlockSpec((1, sq_pad), lambda bh, xb: (bh, 0),
+                                 memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, kv_len=kv_len, block_k=block_k,
+                          sm_scale=sm_scale),
+        grid=(b * h, sq_pad // block_q),
+        in_specs=[q_spec, kfull_spec, kfull_spec, q_spec, lse_q_spec,
+                  lse_q_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+    )(qp, kp, vp, dop, lse_p, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, q_len=sq, kv_len=kv_len,
+                          block_q=block_q, sm_scale=sm_scale),
+        grid=(b * h, kv_pad // block_k),
+        in_specs=[qfull_spec, k_spec, k_spec, qfull_spec, lse_full_spec,
+                  lse_full_spec],
+        out_specs=(k_spec, k_spec),
+        out_shape=(jax.ShapeDtypeStruct((b * h, kv_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, kv_pad, d_pad), v.dtype)),
+    )(qp, kp, vp, dop, lse_p, delta)
+
+    unpad_q = lambda t: t.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    unpad_k = lambda t: t.reshape(b, h, kv_pad, d_pad)[:, :, :kv_len, :d]
+    return unpad_q(dq), unpad_k(dk), unpad_k(dv)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
 
 def _reference(q, k, v, bias):
     from synergy_tpu.ops.attention import xla_attention
@@ -110,23 +251,35 @@ def _reference(q, k, v, bias):
     return xla_attention(q, k, v, bias)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     if bias is not None:
-        # key-padding bias: fold into k by masking is unsafe; take XLA path
         return _reference(q, k, v, bias)
-    return _flash_forward(q, k, v)
+    out, _, _ = _flash_forward(q, k, v)
+    b, h, sq, d = q.shape
+    return out.reshape(b, h, -1, out.shape[-1])[:, :, :sq, :d]
 
 
 def _fwd(q, k, v, bias):
-    return flash_attention(q, k, v, bias), (q, k, v, bias)
+    if bias is not None:
+        return _reference(q, k, v, bias), (q, k, v, bias, None, None)
+    out, lse, _ = _flash_forward(q, k, v)
+    b, h, sq, d = q.shape
+    out_c = out.reshape(b, h, -1, out.shape[-1])[:, :, :sq, :d]
+    return out_c, (q, k, v, bias, out, lse)
 
 
 def _bwd(res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _reference(q_, k_, v_, bias), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, bias, out_pad, lse = res
+    if bias is not None:
+        _, vjp = jax.vjp(lambda q_, k_, v_: _reference(q_, k_, v_, bias),
+                         q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    b, h, sq, d = q.shape
+    out = out_pad.reshape(b, h, -1, out_pad.shape[-1])[:, :, :sq, :d]
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g)
     return dq, dk, dv, None
 
 

@@ -24,7 +24,7 @@ def test_flash_matches_xla(rng, seq):
     q, k, v = _rand_qkv(rng, b=1, h=2, sq=seq, sk=seq, d=64)
     ref = xla_attention(q, k, v)
     with pltpu.force_tpu_interpret_mode():
-        out = fa._flash_forward(q, k, v)
+        out = fa.flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
@@ -33,7 +33,7 @@ def test_flash_bf16(rng):
     q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     ref = xla_attention(q, k, v)
     with pltpu.force_tpu_interpret_mode():
-        out = fa._flash_forward(q, k, v)
+        out = fa.flash_attention(q, k, v)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2)
@@ -49,17 +49,20 @@ def test_flash_with_bias_falls_back(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_flash_grad(rng):
-    q, k, v = _rand_qkv(rng, b=1, h=1, sq=128, sk=128, d=32)
+@pytest.mark.parametrize("seq", [128, 200, 852])
+def test_flash_grad(rng, seq):
+    q, k, v = _rand_qkv(rng, b=1, h=2, sq=seq, sk=seq, d=32)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(xla_attention(q, k, v) ** 2)
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for name, a, b in zip("qkv", g1, g2):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        assert err <= 2e-4 * scale, f"d{name}: {err} (scale {scale})"

@@ -1,0 +1,119 @@
+"""Full-model interop: reference-format checkpoint loading and end-to-end
+TriCLIP parity (<=1e-4) against a torch composition of the same weights."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from synergy_tpu.configs import AudioConfig, CLIPConfig, TextConfig, VisionConfig
+from synergy_tpu.interop import hf_port
+from synergy_tpu.models.tri_clip import TriCLIP
+
+TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def torch_tri_clip():
+    """A torch model with the reference Tri_CLIP's structure and state-dict
+    naming (three HF towers + bias-free projections + three logit scales,
+    reference model.py:60-82), randomly initialized."""
+    from transformers import ASTConfig, CLIPVisionConfig, RobertaConfig
+    from transformers import ASTModel as HFAst
+    from transformers import CLIPVisionModel
+    from transformers import RobertaModel as HFRoberta
+
+    torch.manual_seed(0)
+
+    class TorchTri(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vision_model = CLIPVisionModel(CLIPVisionConfig(
+                hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+                num_attention_heads=4, image_size=32, patch_size=16))
+            self.text_model = HFRoberta(RobertaConfig(
+                vocab_size=512, hidden_size=64, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+                attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0))
+            self.audio_model = HFAst(ASTConfig(
+                hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+                num_attention_heads=4, patch_size=16, frequency_stride=16,
+                time_stride=16, max_length=64, num_mel_bins=64,
+                attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0))
+            self.vision_projection = torch.nn.Linear(64, 32, bias=False)
+            self.text_projection = torch.nn.Linear(64, 32, bias=False)
+            self.audio_projection = torch.nn.Linear(64, 32, bias=False)
+            self.logit_scale_for_IT = torch.nn.Parameter(torch.tensor(2.6592))
+            self.logit_scale_for_TA = torch.nn.Parameter(torch.tensor(2.6592))
+            self.logit_scale_for_AI = torch.nn.Parameter(torch.tensor(2.6592))
+
+    return TorchTri().eval()
+
+
+@pytest.fixture(scope="module")
+def jax_cfg():
+    return CLIPConfig(
+        vision=VisionConfig(hidden_size=64, intermediate_size=256,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            image_size=32, patch_size=16),
+        text=TextConfig(vocab_size=512, hidden_size=64, intermediate_size=256,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        max_position_embeddings=66, attention_dropout=0.0,
+                        hidden_dropout=0.0),
+        audio=AudioConfig(hidden_size=64, intermediate_size=256,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          patch_size=16, frequency_stride=16, time_stride=16,
+                          max_length=64, num_mel_bins=64),
+        projection_dim=32,
+    )
+
+
+def _reference_forward(m, pixel, ids, mask, fbank):
+    """The reference Tri_CLIP forward math (model.py:205-266) in torch."""
+    with torch.no_grad():
+        img = m.vision_projection(m.vision_model(pixel_values=pixel).pooler_output)
+        txt = m.text_projection(
+            m.text_model(input_ids=ids, attention_mask=mask).pooler_output)
+        aud = m.audio_projection(m.audio_model(input_values=fbank).pooler_output)
+        norm = lambda x: x / x.norm(p=2, dim=-1, keepdim=True)
+        return norm(img), norm(txt), norm(aud)
+
+
+def test_tri_clip_checkpoint_roundtrip_and_parity(tmp_path, torch_tri_clip,
+                                                  jax_cfg, rng):
+    m = torch_tri_clip
+    # save in the reference's .tar format (main_pretraining.py:45-47)
+    tar = str(tmp_path / "CLIP_model_base_prompt.tar")
+    torch.save({"model_state_dict": m.state_dict()}, tar)
+    params = hf_port.load_reference_checkpoint(tar)
+
+    model = TriCLIP(jax_cfg)
+    pixel = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ids = rng.integers(4, 512, (2, 8)).astype(np.int64)
+    ids[:, 0] = 0
+    mask = np.ones_like(ids)
+    fbank = rng.standard_normal((2, 64, 64)).astype(np.float32)
+
+    ref_img, ref_txt, ref_aud = _reference_forward(
+        m, torch.from_numpy(pixel), torch.from_numpy(ids),
+        torch.from_numpy(mask), torch.from_numpy(fbank))
+
+    out = model.apply({"params": params}, jnp.asarray(pixel),
+                      jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(fbank))
+    for ours, ref, what in [
+        (out["image_embeds"], ref_img, "image"),
+        (out["text_embeds"], ref_txt, "text"),
+        (out["audio_embeds"], ref_aud, "audio"),
+    ]:
+        err = np.abs(np.asarray(ours) - ref.numpy()).max()
+        assert err <= TOL, f"{what}: {err}"
+    assert float(out["logit_scale_IT"]) == pytest.approx(2.6592, abs=1e-6)
+
+    # similarity heads match the reference's zero-shot scores (model.py:126-203)
+    sim = model.apply({"params": params}, jnp.asarray(pixel),
+                      jnp.asarray(ids), jnp.asarray(mask),
+                      method=TriCLIP.get_img_txt_sim_score)
+    ref_sim = (ref_img @ ref_txt.t() * torch.exp(m.logit_scale_for_IT)).detach()
+    assert np.abs(np.asarray(sim) - ref_sim.numpy()).max() <= 5e-4
