@@ -46,10 +46,24 @@ class CSVTriModalDataset:
 
     def __init__(self, csv_path: str, is_captioned: bool = False,
                  augment_audio: bool = True, apply_rate: float = 0.20,
-                 seed: int = 0):
+                 seed: int = 0, category_idx=None,
+                 category_json: str = "vgg_category.json"):
         import pandas as pd
 
         self.df = pd.read_csv(csv_path).reset_index(drop=True)
+        if category_idx is not None:
+            # Dataset_Step23 semantics (reference dataset.py:183-190): select
+            # rows whose label is one of the VGGSound categories at these
+            # indices into vgg_category.json, then shuffle.
+            import json
+
+            with open(category_json) as f:
+                cate_tag = list(json.load(f).items())
+            cats = {cate_tag[i][0] for i in category_idx}
+            self.df = (self.df[self.df.label.isin(cats)]
+                       .reset_index(drop=True)
+                       .sample(frac=1.0, random_state=seed)
+                       .reset_index(drop=True))
         self.is_captioned = is_captioned
         self.augment_audio = augment_audio
         self.apply_rate = apply_rate

@@ -65,7 +65,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+    # lse replicated over 8 sublanes to satisfy Mosaic (8, 128) tiling
+    lse = (m + jnp.log(l_safe))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
 def _flash_forward(q, k, v, block_q: int = 128, block_k: int = 128):
@@ -98,12 +100,12 @@ def _flash_forward(q, k, v, block_q: int = 128, block_k: int = 128):
         out_specs=(
             pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qb: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 8, sq_pad), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * kv_pad * d_pad,
@@ -122,8 +124,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, kv_len: int, block_k: int, sm_scale: float):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
@@ -160,8 +162,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
@@ -198,8 +200,9 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = 128,
     qp, dop = pad_q(q), pad_q(g)
     op = pad_q(out)
     kp, vp = pad_k(k), pad_k(v)
-    lse_p = lse  # already (b*h, sq_pad)
+    lse_p = lse  # (b*h, 8, sq_pad), sublane-replicated
     delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], lse_p.shape)
 
     sm_scale = 1.0 / (d ** 0.5)
     q_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
@@ -210,9 +213,9 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = 128,
                               memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, block_k, d_pad), lambda bh, kb: (bh, kb, 0),
                           memory_space=pltpu.VMEM)
-    lse_q_spec = pl.BlockSpec((1, block_q), lambda bh, qb: (bh, qb),
+    lse_q_spec = pl.BlockSpec((1, 8, block_q), lambda bh, qb: (bh, 0, qb),
                               memory_space=pltpu.VMEM)
-    lse_full_spec = pl.BlockSpec((1, sq_pad), lambda bh, xb: (bh, 0),
+    lse_full_spec = pl.BlockSpec((1, 8, sq_pad), lambda bh, xb: (bh, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(

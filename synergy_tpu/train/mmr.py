@@ -125,8 +125,10 @@ def make_batch(args, recon_cfg, tokenizer):
         ds = SyntheticTriModalDataset(args.batch_size, args.IS_CAPTIONED,
                                       seed=args.SEED)
     else:
+        cate = CATE_IDX[args.IDX] if os.path.exists("vgg_category.json") else None
         ds = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
-                                augment_audio=False, seed=args.SEED)
+                                augment_audio=False, seed=args.SEED,
+                                category_idx=cate)
     # the text decoder reconstructs exactly text_length tokens
     # (reference config.py:138: text_length == seq_max_length)
     loader = TriModalLoader(ds, tokenizer, args.batch_size,
