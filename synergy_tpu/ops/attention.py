@@ -40,11 +40,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           impl: Optional[str] = None) -> jnp.ndarray:
     impl = impl or os.environ.get("SYNERGY_ATTN_IMPL", "auto")
     if impl == "auto":
-        # The fused kernel pays off on long sequences (the 852/1214-token
-        # audio tower); short towers (text 32, vision 197/257) stay on XLA,
-        # which fuses those sizes well.
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and bias is None and k.shape[2] >= 256) else "xla"
+        # Measured on v5e (Base train step, batch 35, bf16): XLA attention
+        # 96.5 triplets/s vs the Pallas flash path 66.4 — XLA's fused
+        # attention wins at this workload's sequence lengths (<=1214), so it
+        # is the default. The Pallas kernels (fwd+bwd, O(S) memory) remain
+        # available via impl='pallas' / SYNERGY_ATTN_IMPL=pallas for longer
+        # sequences where materializing S^2 scores stops fitting.
+        impl = "xla"
     if impl == "pallas":
         from synergy_tpu.ops.flash_attention import flash_attention
 

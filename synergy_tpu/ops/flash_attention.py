@@ -37,17 +37,17 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
                 block_k: int, sm_scale: float):
-    q = q_ref[0].astype(jnp.float32) * sm_scale        # (block_q, d)
+    q = q_ref[0]  # native dtype: bf16 inputs ride the fast MXU path
     block_q, d = q.shape
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -56,7 +56,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
@@ -122,8 +123,8 @@ def _flash_forward(q, k, v, block_q: int = 128, block_k: int = 128):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, kv_len: int, block_k: int, sm_scale: float):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
@@ -131,8 +132,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     num_kb = kv_pad // block_k
 
     def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
@@ -140,7 +141,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -151,8 +152,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, q_len: int, kv_len: int, block_q: int,
                     sm_scale: float):
-    k = k_ref[0].astype(jnp.float32)   # (block_k, d)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]   # (block_k, d), native dtype
+    v = v_ref[0]
     block_k, d = k.shape
     kb = pl.program_id(1)
     q_pad = q_ref.shape[1]
@@ -160,8 +161,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -169,12 +170,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * block_q
         s = jnp.where((col < kv_len) & (row < q_len), s, NEG_INF)
-        p = jnp.exp(s - lse)  # rows past q_len have lse=0, p=exp(NEG_INF)=0
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p = jnp.exp(s - lse)  # rows past q_len are masked to NEG_INF
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
+        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv

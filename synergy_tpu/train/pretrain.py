@@ -35,6 +35,9 @@ from synergy_tpu.data.pipeline import (
     prefetch,
 )
 from synergy_tpu.models.tri_clip import TriCLIP
+from synergy_tpu.parallel.distributed import (
+    is_primary, maybe_initialize_distributed,
+)
 from synergy_tpu.parallel.mesh import (
     batch_sharding, create_mesh, param_shardings, replicated, shard_batch,
 )
@@ -80,6 +83,11 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace for epoch 0 here "
                         "(view with TensorBoard)")
+    p.add_argument("--checkpoint_every", type=int, default=None,
+                   help="also checkpoint every N steps (recovery story; the "
+                        "reference only saved on best validation loss)")
+    p.add_argument("--log_file", type=str, default=None,
+                   help="append per-epoch metrics as JSONL here")
     return p.parse_args(argv)
 
 
@@ -102,6 +110,7 @@ def build_datasets(args):
 def main(argv=None):
     args = parse_args(argv)
     key = set_seed(args.SEED)
+    maybe_initialize_distributed()
 
     n_dev = jax.device_count()
     clip_cfg = (CLIPConfig.tiny() if args.tiny
@@ -212,10 +221,22 @@ def main(argv=None):
             if val_metrics:
                 val_loss = float(np.mean([np.asarray(m["loss"]) for m in val_metrics]))
                 print(f"[pretrain]   val_loss={val_loss:.4f}")
-                if val_loss < min_loss:
+                if val_loss < min_loss and is_primary():
                     min_loss = val_loss
                     ckpt.save_state(args.ckpt_dir, tag, state)
                     print(f"[pretrain]   saved checkpoint -> {args.ckpt_dir}/{tag}")
+            if (args.checkpoint_every and is_primary()
+                    and (epoch + 1) % args.checkpoint_every == 0):
+                ckpt.save_state(args.ckpt_dir, tag + "_periodic", state)
+            if args.log_file and is_primary():
+                import json as _json
+
+                rec = dict(epoch=epoch + 1, **means,
+                           triplets_per_sec=round(tps, 2))
+                if val_metrics:
+                    rec["val_loss"] = val_loss
+                with open(args.log_file, "a") as f:
+                    f.write(_json.dumps(rec) + "\n")
     return state
 
 
