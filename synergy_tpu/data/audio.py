@@ -19,7 +19,6 @@ Replaces two native dependency surfaces of the reference:
 from __future__ import annotations
 
 import functools
-import random as pyrandom
 from typing import Optional, Tuple
 
 import jax
@@ -248,7 +247,6 @@ def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Minimal PCM/float WAV reader (mono-ized), no external audio deps."""
-    import struct
     import wave as wavmod
 
     with wavmod.open(path, "rb") as w:

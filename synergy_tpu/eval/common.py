@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from synergy_tpu.configs import AudioConfig, CLIPConfig, TextConfig, VisionConfig
+from synergy_tpu.configs import AudioConfig, TextConfig, VisionConfig
 from synergy_tpu.models.ast import ASTModel
 from synergy_tpu.models.roberta import RobertaModel
 from synergy_tpu.models.vit import ViTModel

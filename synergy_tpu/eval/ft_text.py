@@ -15,7 +15,7 @@ MRPC/QQP; Matthews for CoLA; Pearson/Spearman for STS-B.
 from __future__ import annotations
 
 import argparse
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

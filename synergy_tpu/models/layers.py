@@ -8,7 +8,7 @@ they differ only in norm placement and activation.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

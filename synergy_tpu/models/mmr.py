@@ -26,7 +26,7 @@ keeps torch's normalized axes (all but batch) with params stored HWC.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ mirror the reference's zero-shot entry points (reference model.py:126-203).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Shapes: q, k, v are (B, H, S, D); ``bias`` broadcastable to (B, H, Sq, Sk).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

@@ -24,8 +24,6 @@ import argparse
 import os
 import random as pyrandom
 import time
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,7 +93,6 @@ def tiny_recon_config() -> ReconstructionConfig:
 def frozen_tower_features(model: TriCLIP, params, batch, mm: str):
     """Run the two present-modality towers once; stop_gradient == the
     reference's torch.no_grad (model.py:650,724,790)."""
-    lhs_img, pooled_img = None, None
     outs = model.apply(
         {"params": params}, batch["pixel_values"], batch["input_ids"],
         batch["attention_mask"], batch["input_values"],

@@ -23,7 +23,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ from synergy_tpu.parallel.distributed import (
     is_primary, maybe_initialize_distributed,
 )
 from synergy_tpu.parallel.mesh import (
-    batch_sharding, create_mesh, param_shardings, replicated, shard_batch,
+    batch_sharding, create_mesh, param_shardings, replicated,
 )
 from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.train.state import (

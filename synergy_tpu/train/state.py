@@ -10,8 +10,7 @@ accumulation over ``accum_steps`` microbatches (:79-80, :172-177), AdamW
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
