@@ -66,6 +66,7 @@ def parse_args(argv=None):
     # ours
     p.add_argument("--train_csv", type=str, default="vgg_sound_train_captioned.csv")
     p.add_argument("--valid_csv", type=str, default="vgg_sound_test_captioned.csv")
+    p.add_argument("--test_csv", type=str, default="vgg_sound_test_captioned.csv")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--synthetic_size", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=None,
@@ -237,6 +238,26 @@ def main(argv=None):
                     rec["val_loss"] = val_loss
                 with open(args.log_file, "a") as f:
                     f.write(_json.dumps(rec) + "\n")
+
+        # final test loop (reference main_pretraining.py:231-260)
+        if args.synthetic or not os.path.exists(args.test_csv):
+            test_ds = SyntheticTriModalDataset(
+                max(32, args.synthetic_size // 8), args.IS_CAPTIONED,
+                seed=args.SEED + 2)
+        else:
+            test_ds = CSVTriModalDataset(args.test_csv, args.IS_CAPTIONED,
+                                         augment_audio=False, seed=args.SEED + 2)
+        test_loader = TriModalLoader(test_ds, tokenizer, batch,
+                                     args.seq_max_length, shuffle=False,
+                                     seed=args.SEED)
+        test_metrics = []
+        for t_idx, batch_np in enumerate(iter(test_loader)):
+            if args.steps_per_epoch and t_idx >= max(1, args.steps_per_epoch // 4):
+                break
+            test_metrics.append(eval_step(state.params, put(batch_np)))
+        if test_metrics:
+            test_loss = float(np.mean([np.asarray(m["loss"]) for m in test_metrics]))
+            print(f"[pretrain] test_loss={test_loss:.4f}")
     return state
 
 
