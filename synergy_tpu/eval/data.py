@@ -68,15 +68,19 @@ def _synthetic_audio(label_names, n=200, seconds=2.0, seed=0) -> AudioSet:
                     list(label_names), synthetic=True)
 
 
-def _load_cifar_pickles(root: str, name: str) -> Optional[ImageSet]:
+def _load_cifar_pickles(root: str, name: str,
+                        split: str = "test") -> Optional[ImageSet]:
     if name == "cifar-10":
         d = os.path.join(root, "cifar-10-batches-py")
-        files = [os.path.join(d, "test_batch")]
+        if split == "train":
+            files = [os.path.join(d, f"data_batch_{i}") for i in range(1, 6)]
+        else:
+            files = [os.path.join(d, "test_batch")]
         key = b"labels"
         names = L.CIFAR10
     else:
         d = os.path.join(root, "cifar-100-python")
-        files = [os.path.join(d, "test")]
+        files = [os.path.join(d, "train" if split == "train" else "test")]
         key = b"fine_labels"
         names = L.CIFAR100
     if not all(os.path.exists(f) for f in files):
@@ -119,7 +123,7 @@ def load_image_dataset(name: str, root: str = "data",
                        split: str = "test", seed: int = 0) -> ImageSet:
     name = name.lower()
     if name in ("cifar-10", "cifar-100"):
-        ds = _load_cifar_pickles(root, name)
+        ds = _load_cifar_pickles(root, name, split)
         if ds is not None:
             return ds
         return _synthetic_images(L.LABELS[name], size=32, seed=seed)
