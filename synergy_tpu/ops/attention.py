@@ -39,13 +39,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           impl: Optional[str] = None) -> jnp.ndarray:
     impl = impl or os.environ.get("SYNERGY_ATTN_IMPL", "auto")
     if impl == "auto":
-        # Measured on v5e (Base train step, batch 35, bf16): XLA attention
-        # 96.5 triplets/s vs the Pallas flash path 66.4 — XLA's fused
-        # attention wins at this workload's sequence lengths (<=1214), so it
-        # is the default. The Pallas kernels (fwd+bwd, O(S) memory) remain
-        # available via impl='pallas' / SYNERGY_ATTN_IMPL=pallas for longer
-        # sequences where materializing S^2 scores stops fitting.
-        impl = "xla"
+        # Measured on v5e (b35 h12 d64, fwd+bwd, bf16): the tuned Pallas
+        # kernels (single-shot KV blocks) run 852 tokens at 6.4ms vs XLA's
+        # 10.5ms, so long unmasked sequences (the audio tower) route to
+        # Pallas; short towers (text 32 w/ mask, vision 197/257) stay on
+        # XLA, which fuses those sizes well.
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and bias is None and k.shape[2] >= 512) else "xla"
     if impl == "pallas":
         from synergy_tpu.ops.flash_attention import flash_attention
 

@@ -31,6 +31,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_policy(sq: int, kv_len: int):
+    """Tuned on v5e: big single-shot KV blocks beat 128-wide online-softmax
+    loops at this workload's lengths (852 tokens: 6.4ms vs 18.4ms fwd+bwd for
+    b35 h12 d64; XLA fused attention is 10.5ms). Fall back to 1024-wide KV
+    blocks (classic flash loop) when K/V no longer fits one block."""
+    block_q = min(256, _round_up(sq, 128))
+    kv_pad = _round_up(kv_len, 128)
+    if kv_pad <= 2048:
+        block_k = kv_pad
+    else:
+        block_k = 1024
+        kv_pad = _round_up(kv_len, block_k)
+    return block_q, block_k, kv_pad
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -71,9 +86,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
-def _flash_forward(q, k, v, block_q: int = 128, block_k: int = 128):
+def _flash_forward(q, k, v, block_q: int = None, block_k: int = None):
     b, h, sq, d = q.shape
     kv_len = k.shape[2]
+    auto_bq, auto_bk, auto_kvp = _block_policy(sq, kv_len)
+    block_q = block_q or auto_bq
+    block_k = block_k or auto_bk
     sq_pad = _round_up(sq, block_q)
     kv_pad = _round_up(kv_len, block_k)
     d_pad = _round_up(d, 128)
@@ -188,11 +206,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, block_q: int = 128,
-                    block_k: int = 128):
+def _flash_backward(q, k, v, out, lse, g, block_q: int = None,
+                    block_k: int = None):
     b, h, sq, d = q.shape
     kv_len = k.shape[2]
+    auto_bq, auto_bk, _ = _block_policy(sq, kv_len)
+    block_q = block_q or auto_bq
+    block_k = block_k or auto_bk
     sq_pad = _round_up(sq, block_q)
+    assert sq_pad == lse.shape[-1], (
+        f"bwd block_q must match fwd padding: {sq_pad} vs {lse.shape[-1]}")
     kv_pad = _round_up(kv_len, block_k)
     d_pad = _round_up(d, 128)
     pad_q = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sq_pad - sq),
