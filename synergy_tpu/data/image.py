@@ -61,12 +61,10 @@ def crop_and_resize(img: jnp.ndarray, top, left, height, width,
                     out_size: int, method: str = "bilinear") -> jnp.ndarray:
     """Crop box (possibly traced coords) then resize to (out_size, out_size),
     with static output shape, via scale_and_translate."""
-    h_in = img.shape[0]
     scale_y = out_size / height
     scale_x = out_size / width
-    # output pixel o maps to input: (o + 0.5)/scale - 0.5 + crop_offset
-    translate_y = -(top + (0.5 / scale_y) * 1.0 - 0.5) * scale_y + 0.5 - 0.5
-    # simpler closed form: translation = -origin * scale
+    # output pixel o maps to input (o + 0.5)/scale - 0.5 + top, i.e.
+    # translation = (0.5*scale - 0.5) - top*scale
     translate_y = (0.5 * scale_y - 0.5) - top * scale_y
     translate_x = (0.5 * scale_x - 0.5) - left * scale_x
     return jax.image.scale_and_translate(
