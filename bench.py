@@ -27,7 +27,8 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="per-chip batch")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--mode", choices=["train", "infer"], default="train")
+    p.add_argument("--mode", choices=["train", "infer", "preprocess"],
+                   default="train")
     args = p.parse_args()
 
     from synergy_tpu.configs import CLIPConfig, TrainConfig
@@ -36,6 +37,44 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     n_dev = jax.device_count()
+
+    if args.mode == "preprocess":
+        # device-fused preprocessing throughput: image augmentation chain +
+        # log-mel fbank (the BASELINE north star's preprocessing fusion)
+        from synergy_tpu.data.audio import log_mel_fbank
+        from synergy_tpu.data.image import train_transform
+
+        batch = args.batch or (256 if on_tpu else 16)
+        rng_np = np.random.default_rng(0)
+        imgs = jnp.asarray(rng_np.random((batch, 224, 224, 3)), jnp.float32)
+        waves = jnp.asarray(
+            0.1 * rng_np.standard_normal((batch, 164080)), jnp.float32)
+
+        def run(key, imgs, waves, steps):
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                keys = jax.random.split(sub, imgs.shape[0])
+                px = jax.vmap(train_transform)(keys, imgs)
+                fb = jax.vmap(log_mel_fbank)(waves)
+                return k, (jnp.sum(px) + jnp.sum(fb))
+            return jax.lax.scan(body, key, None, length=steps)
+
+        run = jax.jit(run, static_argnums=(3,))
+        key = jax.random.PRNGKey(0)
+        _, sums = run(key, imgs, waves, args.steps)
+        float(sums[-1])
+        t0 = time.perf_counter()
+        _, sums = run(key, imgs, waves, args.steps)
+        float(sums[-1])
+        dt = time.perf_counter() - t0
+        per_chip = args.steps * batch / dt / n_dev
+        print(json.dumps({
+            "metric": "preprocess_triplets_per_sec_per_chip",
+            "value": round(per_chip, 2),
+            "unit": "triplets/s",
+            "vs_baseline": round(per_chip / 5000.0, 4),
+        }))
+        return
     cfg = CLIPConfig.base() if on_tpu else CLIPConfig.tiny()
     batch = args.batch or ((35 if on_tpu else 8) * n_dev)
 
