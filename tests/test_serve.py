@@ -1,0 +1,98 @@
+"""Serving runtime: engine batching/bucketing and the HTTP JSON API."""
+
+import base64
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from synergy_tpu.serve import EmbeddingEngine, serve
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    import jax.numpy as jnp
+
+    return EmbeddingEngine(ckpt_dir=str(tmp_path_factory.mktemp("none")),
+                           tiny=True, dtype=jnp.float32, max_batch=8)
+
+
+def test_engine_embeddings_normalized(engine, rng):
+    txt = engine.embed_text(["a photo of a dog", "rain on a roof", "x"])
+    assert txt.shape == (3, engine.cfg.projection_dim)
+    np.testing.assert_allclose(np.linalg.norm(txt, axis=1), 1.0, atol=1e-5)
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    img = engine.embed_image(imgs)
+    assert img.shape == (2, engine.cfg.projection_dim)
+    waves = rng.standard_normal((5, 16000)).astype(np.float32)
+    aud = engine.embed_audio(waves)
+    assert aud.shape == (5, engine.cfg.projection_dim)
+    sim = engine.similarity(img, txt, "IT")
+    assert sim.shape == (2, 3)
+
+
+def test_engine_bucketing_consistency(engine, rng):
+    """Padding to a bucket must not change the real rows."""
+    texts = ["dog", "cat", "rain"]
+    three = engine.embed_text(texts)
+    one = engine.embed_text(texts[:1])
+    np.testing.assert_allclose(three[0], one[0], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = serve(engine, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _post(addr, path, payload):
+    conn = http.client.HTTPConnection(*addr, timeout=60)
+    conn.request("POST", path, json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_http_healthz(server):
+    conn = http.client.HTTPConnection(*server, timeout=30)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_http_embed_and_similarity(server, rng):
+    status, out = _post(server, "/embed",
+                        {"modality": "text", "texts": ["dog", "violin"]})
+    assert status == 200 and len(out["embeddings"]) == 2
+
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    status, out = _post(server, "/embed", {
+        "modality": "image",
+        "image_b64": base64.b64encode(imgs.tobytes()).decode(),
+        "shape": list(imgs.shape),
+    })
+    assert status == 200 and len(out["embeddings"]) == 2
+
+    status, out = _post(server, "/similarity", {
+        "texts": ["a dog", "a violin", "rain"],
+        "image_b64": base64.b64encode(imgs.tobytes()).decode(),
+        "shape": list(imgs.shape),
+    })
+    assert status == 200
+    sim = np.asarray(out["similarity"])
+    assert sim.shape == (2, 3) and out["pair"] == "IT"
+
+
+def test_http_bad_requests(server):
+    status, out = _post(server, "/embed", {"modality": "video"})
+    assert status == 400 and "error" in out
+    status, out = _post(server, "/embed", {"modality": "image"})
+    assert status == 400
+    status, out = _post(server, "/nope", {})
+    assert status == 404
