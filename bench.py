@@ -14,12 +14,24 @@ no throughput numbers (BASELINE.md).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: repeated bench runs skip the multi-minute
+# XLA compile of the Base train step
+try:
+    _cache = os.path.join(os.path.expanduser("~"), ".cache", "synergy_tpu",
+                          "xla_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 
 def main():
