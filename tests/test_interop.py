@@ -117,3 +117,16 @@ def test_tri_clip_checkpoint_roundtrip_and_parity(tmp_path, torch_tri_clip,
                       method=TriCLIP.get_img_txt_sim_score)
     ref_sim = (ref_img @ ref_txt.t() * torch.exp(m.logit_scale_for_IT)).detach()
     assert np.abs(np.asarray(sim) - ref_sim.numpy()).max() <= 5e-4
+
+
+def test_port_cli_feeds_downstream(tmp_path, torch_tri_clip):
+    """The migration CLI writes an export that eval entry points load."""
+    from synergy_tpu.interop.port_cli import main as port_main
+    from synergy_tpu.train.checkpoint import load_tri_clip_params
+
+    tar = str(tmp_path / "CLIP_model_base_prompt.tar")
+    torch.save({"model_state_dict": torch_tri_clip.state_dict()}, tar)
+    port_main(["--checkpoint", tar, "--ckpt_dir", str(tmp_path / "ck")])
+    params = load_tri_clip_params(str(tmp_path / "ck"), "base_prompt")
+    assert float(np.asarray(params["logit_scale_IT"])) == pytest.approx(2.6592)
+    assert "kernel" in params["vision_projection"]
