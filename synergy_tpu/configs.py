@@ -325,8 +325,6 @@ class TrainConfig:
     is_captioned: bool = False
     global_negatives: bool = True
     compute_dtype: str = "bfloat16"
-    mesh_shape: Tuple[int, ...] = (-1,)
-    mesh_axes: Tuple[str, ...] = ("data",)
 
     @classmethod
     def for_size(cls, is_base: bool, **kw) -> "TrainConfig":
