@@ -135,9 +135,9 @@ def finetune_classifier(
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, arrays, labels):
+    def train_step(params, opt_state, arrays, labels, key):
         if preprocess_fn is not None:
-            arrays = preprocess_fn(arrays)
+            arrays = preprocess_fn(arrays, key)
 
         def loss_fn(p):
             logits = model.apply({"params": p}, *arrays)
@@ -152,11 +152,13 @@ def finetune_classifier(
     @jax.jit
     def eval_step(params, arrays):
         if preprocess_fn is not None:
-            arrays = preprocess_fn(arrays)
+            arrays = preprocess_fn(arrays, None)
         return model.apply({"params": params}, *arrays)
 
     n = len(train_labels)
     rng = np.random.default_rng(seed)
+    aug_key = jax.random.PRNGKey(seed)
+    step_i = 0
     for epoch in range(epochs):
         order = rng.permutation(n)
         losses = []
@@ -164,7 +166,9 @@ def finetune_classifier(
             idx = order[start: start + batch_size]
             arrays = tuple(jnp.asarray(a[idx]) for a in train_arrays)
             params, opt_state, loss = train_step(
-                params, opt_state, arrays, jnp.asarray(train_labels[idx]))
+                params, opt_state, arrays, jnp.asarray(train_labels[idx]),
+                jax.random.fold_in(aug_key, step_i))
+            step_i += 1
             losses.append(float(loss))
         print(f"{log_prefix} epoch {epoch + 1}/{epochs} "
               f"loss={np.mean(losses):.4f}")

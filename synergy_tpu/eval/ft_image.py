@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from synergy_tpu.configs import CLIPConfig
-from synergy_tpu.data.image import normalize, resize
+from synergy_tpu.data.image import normalize, resize, train_transform
 from synergy_tpu.eval import metrics_io
 from synergy_tpu.eval.common import (
     VisionClassifier, finetune_classifier, init_from_export,
@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--tiny", type=str2bool, default=False)
     p.add_argument("--max_train", type=int, default=None,
                    help="subsample the train split (smoke tests)")
+    p.add_argument("--augment", type=str2bool, default=True,
+                   help="train-time augmentation chain (the reference "
+                        "augments per dataset, DT/FT_image_task.py:129-288)")
     return p.parse_args(argv)
 
 
@@ -71,8 +74,14 @@ def main(argv=None):
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
     params = init_from_export(params, args.ckpt_dir, tag, "vision")
 
-    def preprocess(arrays):
+    def preprocess(arrays, key):
         imgs = arrays[0].astype(jnp.float32) / 255.0
+        if key is not None and args.augment:
+            keys = jax.random.split(key, imgs.shape[0])
+            if imgs.shape[1] != size:
+                imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
+            return (jax.vmap(lambda k, im: train_transform(k, im, size))(
+                keys, imgs),)
         imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
         return (jnp.transpose(normalize(imgs), (0, 3, 1, 2)),)
 

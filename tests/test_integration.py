@@ -66,6 +66,23 @@ def test_contrastive_training_learns():
     assert acc >= 0.25, acc
 
 
+def test_training_is_deterministic(tmp_path):
+    """Two identical synthetic pretrain runs must produce bit-identical
+    parameters (the reference only gets reproducibility via cudnn-
+    deterministic flags; JAX gives it by construction, SURVEY §4)."""
+    from synergy_tpu.train import checkpoint as ckpt
+    from synergy_tpu.train.pretrain import main as pre_main
+
+    argv = ["--tiny", "true", "--synthetic", "true", "--synthetic_size", "16",
+            "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+            "--accum_steps", "1", "--dtype", "float32", "--SEED", "7"]
+    s1 = pre_main(argv + ["--ckpt_dir", str(tmp_path / "a")])
+    s2 = pre_main(argv + ["--ckpt_dir", str(tmp_path / "b")])
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
 def test_checkpoint_chains_into_zs_and_ft(tmp_path):
     """pretrain CLI -> export contract -> zs/ft CLIs consume it."""
     from synergy_tpu.eval.ft_image import main as ft_main
