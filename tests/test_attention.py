@@ -39,6 +39,35 @@ def test_flash_bf16(rng):
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2)
 
 
+def test_flash_loop_path_long_sequence(rng):
+    """kv > 2048 engages the classic flash loop (block policy fallback)."""
+    from synergy_tpu.ops.flash_attention import _block_policy
+
+    bq, bk, kvp = _block_policy(2560, 2560)
+    assert bk == 1024 and kvp == 3072  # loop path
+    q, k, v = _rand_qkv(rng, b=1, h=1, sq=2560, sk=2560, d=32)
+    ref = xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_odd_head_dim(rng):
+    """d=80 exercises the head-dim padding path."""
+    q, k, v = _rand_qkv(rng, b=1, h=2, sq=300, sk=300, d=80)
+    ref = xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+        g1 = jax.grad(lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g2 = jax.grad(lambda q, k, v: jnp.sum(xla_attention(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err <= 2e-4 * max(1.0, float(np.abs(np.asarray(b)).max()))
+
+
 def test_flash_with_bias_falls_back(rng):
     q, k, v = _rand_qkv(rng, b=2, h=2, sq=32, sk=32, d=16)
     mask = np.ones((2, 32), np.int32)
