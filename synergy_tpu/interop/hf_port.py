@@ -40,7 +40,19 @@ def _conv_nchw(weight) -> np.ndarray:
     return _np(weight).transpose(2, 3, 1, 0)
 
 
-def port_vision(hf_model) -> Dict[str, Any]:
+def _pack_layers(layer_dicts, scan_layers: bool) -> Dict[str, Any]:
+    """Per-layer param dicts -> encoder tree. With scan_layers (the model
+    default) parameters are stacked along a leading layer axis under
+    'layers' (models/layers.py TransformerEncoder)."""
+    if scan_layers:
+        import jax
+
+        return {"layers": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *layer_dicts)}
+    return {f"layer_{i}": d for i, d in enumerate(layer_dicts)}
+
+
+def port_vision(hf_model, scan_layers: bool = False) -> Dict[str, Any]:
     """CLIPVisionModel -> ViTModel params."""
     sd = {k: v for k, v in hf_model.state_dict().items()}
     p = "vision_model."
@@ -54,12 +66,11 @@ def port_vision(hf_model) -> Dict[str, Any]:
         },
         "pre_layernorm": _layernorm(sd, p + "pre_layrnorm"),
         "post_layernorm": _layernorm(sd, p + "post_layernorm"),
-        "encoder": {},
     }
-    n_layers = hf_model.config.num_hidden_layers
-    for i in range(n_layers):
+    layers = []
+    for i in range(hf_model.config.num_hidden_layers):
         lp = f"{p}encoder.layers.{i}."
-        params["encoder"][f"layer_{i}"] = {
+        layers.append({
             "ln1": _layernorm(sd, lp + "layer_norm1"),
             "ln2": _layernorm(sd, lp + "layer_norm2"),
             "attn": {
@@ -72,11 +83,12 @@ def port_vision(hf_model) -> Dict[str, Any]:
                 "fc1": _linear(sd, lp + "mlp.fc1"),
                 "fc2": _linear(sd, lp + "mlp.fc2"),
             },
-        }
+        })
+    params["encoder"] = _pack_layers(layers, scan_layers)
     return params
 
 
-def port_text(hf_model) -> Dict[str, Any]:
+def port_text(hf_model, scan_layers: bool = False) -> Dict[str, Any]:
     """RobertaModel -> RobertaModel (flax) params."""
     sd = {k: v for k, v in hf_model.state_dict().items()}
     params: Dict[str, Any] = {
@@ -87,11 +99,11 @@ def port_text(hf_model) -> Dict[str, Any]:
             "layer_norm": _layernorm(sd, "embeddings.LayerNorm"),
         },
         "pooler": _linear(sd, "pooler.dense"),
-        "encoder": {},
     }
+    layers = []
     for i in range(hf_model.config.num_hidden_layers):
         lp = f"encoder.layer.{i}."
-        params["encoder"][f"layer_{i}"] = {
+        layers.append({
             "attn": {
                 "query": _linear(sd, lp + "attention.self.query"),
                 "key": _linear(sd, lp + "attention.self.key"),
@@ -104,11 +116,12 @@ def port_text(hf_model) -> Dict[str, Any]:
                 "fc2": _linear(sd, lp + "output.dense"),
             },
             "ln2": _layernorm(sd, lp + "output.LayerNorm"),
-        }
+        })
+    params["encoder"] = _pack_layers(layers, scan_layers)
     return params
 
 
-def port_audio(hf_model) -> Dict[str, Any]:
+def port_audio(hf_model, scan_layers: bool = False) -> Dict[str, Any]:
     """ASTModel -> ASTModel (flax) params."""
     sd = {k: v for k, v in hf_model.state_dict().items()}
     params: Dict[str, Any] = {
@@ -122,11 +135,11 @@ def port_audio(hf_model) -> Dict[str, Any]:
             },
         },
         "layernorm": _layernorm(sd, "layernorm"),
-        "encoder": {},
     }
+    layers = []
     for i in range(hf_model.config.num_hidden_layers):
         lp = f"encoder.layer.{i}."
-        params["encoder"][f"layer_{i}"] = {
+        layers.append({
             "ln1": _layernorm(sd, lp + "layernorm_before"),
             "ln2": _layernorm(sd, lp + "layernorm_after"),
             "attn": {
@@ -139,7 +152,8 @@ def port_audio(hf_model) -> Dict[str, Any]:
                 "fc1": _linear(sd, lp + "intermediate.dense"),
                 "fc2": _linear(sd, lp + "output.dense"),
             },
-        }
+        })
+    params["encoder"] = _pack_layers(layers, scan_layers)
     return params
 
 

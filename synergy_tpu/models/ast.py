@@ -58,6 +58,7 @@ class ASTModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, input_values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -75,6 +76,7 @@ class ASTModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             name="encoder",
         )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -103,7 +103,24 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class _ScanEncoderLayer(EncoderLayer):
+    """EncoderLayer with the (carry, ys) calling convention nn.scan expects."""
+
+    def __call__(self, x, bias=None):
+        return super().__call__(x, bias), None
+
+
 class TransformerEncoder(nn.Module):
+    """Stack of encoder layers.
+
+    ``scan_layers=True`` folds the layer loop into one ``nn.scan``-ed layer
+    with stacked (L, ...) parameters and dots-saveable remat: XLA compiles
+    ONE layer body instead of N copies (several-fold faster compiles, much
+    lower activation memory), at ~20% training throughput for the remat
+    recompute (measured on v5e: 105 vs 132 triplets/s on the Base step).
+    Unrolled (default) maximizes throughput; param names ``layer_{i}``.
+    """
+
     num_layers: int
     num_heads: int
     head_dim: int
@@ -116,16 +133,34 @@ class TransformerEncoder(nn.Module):
     attn_impl: Optional[str] = None
     deterministic: bool = True
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, bias=None):
+        args = (self.num_heads, self.head_dim, self.intermediate_size,
+                self.act, self.layer_norm_eps, self.pre_norm, self.dropout,
+                self.dtype, self.attn_impl, self.deterministic)
+        if self.scan_layers:
+            # remat with a dots-saveable policy: matmul outputs are saved,
+            # elementwise work recomputes in bwd. Without it, nn.scan stacks
+            # EVERY residual as (L, ...) buffers and the Base audio tower
+            # blows HBM (4x 2GB gelu intermediates at batch 35).
+            body = nn.remat(
+                _ScanEncoderLayer, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            x, _ = scanned(*args, name="layers")(x, bias)
+            return x
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         for i in range(self.num_layers):
-            x = layer_cls(
-                self.num_heads, self.head_dim, self.intermediate_size, self.act,
-                self.layer_norm_eps, self.pre_norm, self.dropout, self.dtype,
-                self.attn_impl, self.deterministic, name=f"layer_{i}",
-            )(x, bias)
+            x = layer_cls(*args, name=f"layer_{i}")(x, bias)
         return x
 
 

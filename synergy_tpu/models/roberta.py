@@ -55,6 +55,7 @@ class RobertaModel(nn.Module):
     attn_impl: Optional[str] = None
     deterministic: bool = True
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None,
@@ -78,6 +79,7 @@ class RobertaModel(nn.Module):
             attn_impl=self.attn_impl,
             deterministic=self.deterministic,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             name="encoder",
         )(x, bias)
         pooled = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pooler")(x[:, 0, :])

@@ -34,15 +34,17 @@ class TriCLIP(nn.Module):
     attn_impl: Optional[str] = None
     deterministic: bool = True
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self):
         cfg = self.config
         self.vision = ViTModel(cfg.vision, self.dtype, self.attn_impl,
-                               self.remat, name="vision")
+                               self.remat, self.scan_layers, name="vision")
         self.text = RobertaModel(cfg.text, self.dtype, self.attn_impl,
-                                 self.deterministic, self.remat, name="text")
+                                 self.deterministic, self.remat,
+                                 self.scan_layers, name="text")
         self.audio = ASTModel(cfg.audio, self.dtype, self.attn_impl,
-                              self.remat, name="audio")
+                              self.remat, self.scan_layers, name="audio")
         proj = lambda name: nn.Dense(cfg.projection_dim, use_bias=False,
                                      dtype=self.dtype, name=name)
         self.vision_projection = proj("vision_projection")

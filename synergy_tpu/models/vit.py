@@ -60,6 +60,7 @@ class ViTModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,6 +80,7 @@ class ViTModel(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             name="encoder",
         )(x)
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -64,6 +64,9 @@ def param_partition_specs(params, tensor_parallel: bool = True):
         s = _path_str(path)
         for pattern, spec in _TP_RULES:
             if re.match(pattern, s):
+                if leaf.ndim == len(spec) + 1:
+                    # scan-stacked layer params carry a leading layer axis
+                    return P(None, *spec)
                 if len(spec) <= leaf.ndim:
                     return spec
                 return P()

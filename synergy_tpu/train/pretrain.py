@@ -79,6 +79,10 @@ def parse_args(argv=None):
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--resume", type=str2bool, default=False)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--scan_layers", type=str2bool, default=False,
+                   help="scan-over-layers towers: several-fold faster "
+                        "compiles and lower activation memory for ~20%% "
+                        "step-time cost (docs/BENCHMARKS.md)")
     p.add_argument("--tiny", type=str2bool, default=False,
                    help="tiny config (smoke tests)")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -142,7 +146,7 @@ def main(argv=None):
                                   seed=args.SEED)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = TriCLIP(clip_cfg, dtype=dtype)
+    model = TriCLIP(clip_cfg, dtype=dtype, scan_layers=args.scan_layers)
     num_groups = dp if args.local_negatives else 1
 
     img_sz = clip_cfg.vision.image_size

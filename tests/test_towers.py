@@ -85,6 +85,30 @@ def test_roberta_parity(rng):
     _assert_close(pooled, ref.pooler_output, "roberta pooler")
 
 
+def test_vit_parity_scan_mode(rng):
+    """The scanned-layer path (stacked params + dots-saveable remat) must
+    match HF exactly, like the unrolled path."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=3,
+        num_attention_heads=4, image_size=64, patch_size=16)
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(hf_cfg).eval()
+    cfg = VisionConfig(hidden_size=64, intermediate_size=256,
+                       num_hidden_layers=3, num_attention_heads=4,
+                       image_size=64, patch_size=16)
+    model = ViTModel(cfg, scan_layers=True)
+    params = hf_port.port_vision(hf, scan_layers=True)
+    assert params["encoder"]["layers"]["mlp"]["fc1"]["kernel"].shape[0] == 3
+    pixels = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.from_numpy(pixels))
+    lhs, pooled = model.apply({"params": params}, jnp.asarray(pixels))
+    _assert_close(lhs, ref.last_hidden_state, "scan vit lhs")
+    _assert_close(pooled, ref.pooler_output, "scan vit pooled")
+
+
 def test_roberta_position_ids():
     from synergy_tpu.models.roberta import create_position_ids
 

@@ -52,12 +52,15 @@ def test_mesh_and_partition_specs(tiny_setup):
     flat = jax.tree_util.tree_leaves_with_path(specs)
     joined = {"/".join(str(getattr(k, "key", k)) for k in path): spec
               for path, spec in flat}
-    assert any(s == P(None, "model") for s in joined.values())
-    # fc1 column-parallel, fc2 row-parallel
+    # fc1 column-parallel, fc2 row-parallel; scan-stacked layer params carry
+    # a leading (layer) axis, hence the extra None
     fc1 = [s for p, s in joined.items() if "fc1/kernel" in p]
     fc2 = [s for p, s in joined.items() if "fc2/kernel" in p]
-    assert all(s == P(None, "model") for s in fc1) and fc1
-    assert all(s == P("model", None) for s in fc2) and fc2
+    assert all(s == P(None, None, "model") for s in fc1) and fc1
+    assert all(s == P(None, "model", None) for s in fc2) and fc2
+    # non-layer params (projections) stay 2D rules
+    proj = [s for p, s in joined.items() if "_projection/kernel" in p]
+    assert all(s == P(None, "model") for s in proj) and proj
 
 
 def test_sharded_train_step_matches_single_device(tiny_setup):
