@@ -52,15 +52,23 @@ def test_mesh_and_partition_specs(tiny_setup):
     flat = jax.tree_util.tree_leaves_with_path(specs)
     joined = {"/".join(str(getattr(k, "key", k)) for k in path): spec
               for path, spec in flat}
-    # fc1 column-parallel, fc2 row-parallel; scan-stacked layer params carry
-    # a leading (layer) axis, hence the extra None
+    # fc1 column-parallel, fc2 row-parallel (unrolled default: 2D kernels)
     fc1 = [s for p, s in joined.items() if "fc1/kernel" in p]
     fc2 = [s for p, s in joined.items() if "fc2/kernel" in p]
-    assert all(s == P(None, None, "model") for s in fc1) and fc1
-    assert all(s == P(None, "model", None) for s in fc2) and fc2
-    # non-layer params (projections) stay 2D rules
+    assert all(s == P(None, "model") for s in fc1) and fc1
+    assert all(s == P("model", None) for s in fc2) and fc2
     proj = [s for p, s in joined.items() if "_projection/kernel" in p]
     assert all(s == P(None, "model") for s in proj) and proj
+    # scan-stacked layer params get a leading None prepended
+    scan_model = TriCLIP(CLIPConfig.tiny(), scan_layers=True)
+    scan_params = scan_model.init(
+        jax.random.PRNGKey(0), batch["pixel_values"], batch["input_ids"],
+        batch["attention_mask"], batch["input_values"])["params"]
+    sspecs = param_partition_specs(scan_params)
+    sflat = {"/".join(str(getattr(k, "key", k)) for k in path): spec
+             for path, spec in jax.tree_util.tree_leaves_with_path(sspecs)}
+    sfc1 = [s for p, s in sflat.items() if "fc1/kernel" in p]
+    assert all(s == P(None, None, "model") for s in sfc1) and sfc1
 
 
 def test_sharded_train_step_matches_single_device(tiny_setup):
