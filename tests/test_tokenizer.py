@@ -127,3 +127,24 @@ def test_pretokenize_against_hf_regex():
     )
     for text in _cases() + ["!!!'s ok", "a  b", "a \n b", "  x"]:
         assert pretokenize(text) == pat.findall(text), repr(text)
+
+
+def test_fuzz_random_unicode(ours, hf_tok):
+    """Fuzz: random unicode mixtures must tokenize identically to HF in both
+    engines (pre-tokenizer edge cases: spacing runs, contractions mid-noise,
+    multi-byte codepoints, controls)."""
+    import random
+
+    rnd = random.Random(0)
+    pools = [
+        "abcdefgh XYZ 0123456789",
+        "'s't' 'll've!@#$%^&*()[]{}.,;:!?-_",
+        " \t\n\r\u00a0",
+        "caf\u00e9\u00fc\u00df\u4e1c\u4eac\u97f3\u697d\U0001f3b5\u0416",
+    ]
+    for _ in range(60):
+        n = rnd.randint(0, 40)
+        text = "".join(rnd.choice(rnd.choice(pools)) for _ in range(n))
+        expected = hf_tok.encode(text, add_special_tokens=False)
+        assert ours._py.encode_text(text) == expected, repr(text)
+        assert ours.encode_raw(text) == expected, repr(text)
