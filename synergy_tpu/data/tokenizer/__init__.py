@@ -17,6 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -62,15 +63,21 @@ class _NativeEngine:
         self._lib, self._handle = lib, handle
         self._buf_size = 4096
         self._buf = (ctypes.c_int32 * self._buf_size)()
+        # The output buffer is shared across calls; serving dispatches
+        # concurrent requests into one engine, so serialize encode calls.
+        self._lock = threading.Lock()
 
     def encode_text(self, text: str) -> List[int]:
         data = text.encode("utf-8")
-        n = self._lib.bpe_encode(self._handle, data, len(data), self._buf, self._buf_size)
-        if n > self._buf_size:
-            self._buf_size = max(n, self._buf_size * 2)
-            self._buf = (ctypes.c_int32 * self._buf_size)()
-            n = self._lib.bpe_encode(self._handle, data, len(data), self._buf, self._buf_size)
-        return list(self._buf[:n])
+        with self._lock:
+            n = self._lib.bpe_encode(
+                self._handle, data, len(data), self._buf, self._buf_size)
+            if n > self._buf_size:
+                self._buf_size = max(n, self._buf_size * 2)
+                self._buf = (ctypes.c_int32 * self._buf_size)()
+                n = self._lib.bpe_encode(
+                    self._handle, data, len(data), self._buf, self._buf_size)
+            return list(self._buf[:n])
 
     def __del__(self):
         try:

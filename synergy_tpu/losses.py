@@ -74,9 +74,12 @@ def tri_clip_loss(
     return clip_loss(logits_it), clip_loss(logits_ta), clip_loss(logits_ai)
 
 
-def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 1e-12) -> jnp.ndarray:
+    """Safe L2 normalization: an all-zero row (e.g. a padded serving-bucket
+    row) maps to zeros, not NaN (0/0)."""
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / (norm + eps)
+    return x / jnp.maximum(norm, eps)
 
 
 # ---------------------------------------------------------------------------

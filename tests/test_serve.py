@@ -96,3 +96,48 @@ def test_http_bad_requests(server):
     assert status == 400
     status, out = _post(server, "/nope", {})
     assert status == 404
+
+
+def test_zero_rows_embed_finite(engine):
+    """All-zero padded bucket rows must yield finite embeddings: l2_normalize
+    guards the 0/0 case so a degenerate feature row maps to zeros, not NaN."""
+    import jax.numpy as jnp
+
+    from synergy_tpu.losses import l2_normalize
+
+    z = l2_normalize(jnp.zeros((2, 8)))
+    assert np.isfinite(np.asarray(z)).all() and (np.asarray(z) == 0).all()
+
+    cfg = engine.cfg
+    size = cfg.vision.image_size
+    # 3 items into the 4-bucket: the 4th row is all-zero input
+    emb = engine.embed_image(np.zeros((3, size, size, 3), np.uint8))
+    assert np.isfinite(emb).all()
+    full = np.asarray(engine._embed_image(
+        engine.params, jnp.zeros((4, 3, size, size))))
+    assert np.isfinite(full).all()
+
+
+def test_http_concurrent_embed_stable(server):
+    """8 threads hammer /embed concurrently; every response must equal the
+    single-threaded result (guards the shared native-BPE buffer)."""
+    texts = ["a dog barking", "rain on a tin roof", "violin concerto",
+             "church bells at noon"]
+    _, ref = _post(server, "/embed", {"modality": "text", "texts": texts})
+    expected = np.asarray(ref["embeddings"])
+    failures = []
+
+    def worker():
+        for _ in range(4):
+            status, out = _post(server, "/embed",
+                                {"modality": "text", "texts": texts})
+            got = np.asarray(out["embeddings"])
+            if status != 200 or not np.allclose(got, expected, atol=1e-5):
+                failures.append(status)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, f"{len(failures)} corrupted concurrent responses"

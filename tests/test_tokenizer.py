@@ -148,3 +148,28 @@ def test_fuzz_random_unicode(ours, hf_tok):
         expected = hf_tok.encode(text, add_special_tokens=False)
         assert ours._py.encode_text(text) == expected, repr(text)
         assert ours.encode_raw(text) == expected, repr(text)
+
+
+def test_concurrent_native_encode_stable(ours):
+    """8 threads hammer the native engine; every call must return the same
+    ids as a single-threaded run (the shared ctypes output buffer is
+    lock-guarded — serving dispatches concurrent requests into one engine)."""
+    import threading
+
+    assert ours.backend == "native"
+    cases = _cases() * 4
+    expected = {t: ours.encode_raw(t) for t in set(cases)}
+    errors = []
+
+    def worker(offset):
+        for t in cases[offset:] + cases[:offset]:
+            ids = ours.encode_raw(t)
+            if ids != expected[t]:
+                errors.append((t, ids))
+
+    threads = [threading.Thread(target=worker, args=(i * 7,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"corrupted ids under concurrency: {errors[:3]}"
