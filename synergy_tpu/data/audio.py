@@ -118,6 +118,30 @@ def log_mel_fbank_batch(waveforms: jnp.ndarray, max_frames: int = MAX_FRAMES,
     return jax.vmap(lambda w: log_mel_fbank(w, None, max_frames, normalize))(waveforms)
 
 
+@functools.partial(jax.jit, static_argnames=("max_frames", "normalize"))
+def log_mel_fbank_ragged(waves: jnp.ndarray, lengths: jnp.ndarray,
+                         max_frames: int = MAX_FRAMES,
+                         normalize: bool = True) -> jnp.ndarray:
+    """(B, N_padded) zero-padded waveforms + true sample counts ->
+    (B, max_frames, 128), identical to ``extract_fbank`` on each unpadded
+    waveform but with one static shape for every length (no per-length
+    recompiles — the handle for host-side augmentation whose stretch step
+    changes waveform length). Frames are only valid when their whole window
+    lies inside the true length, exactly the extractor's frame count, so the
+    zero tail never leaks into an unmasked frame; masked rows carry the same
+    raw-0-then-normalize value the extractor pads with."""
+
+    def one(wave, n):
+        fb = log_mel_fbank(wave, None, max_frames, normalize=False)
+        nf = jnp.clip(1 + (n - FRAME_LENGTH) // HOP_LENGTH, 0, max_frames)
+        fb = jnp.where(jnp.arange(max_frames)[:, None] < nf, fb, 0.0)
+        if normalize:
+            fb = (fb - AST_MEAN) / (2.0 * AST_STD)
+        return fb
+
+    return jax.vmap(one)(waves, lengths)
+
+
 def extract_fbank(waveform: np.ndarray, max_frames: int = MAX_FRAMES,
                   normalize: bool = True) -> np.ndarray:
     """Host convenience API for arbitrary-length waveforms (AST extractor

@@ -228,6 +228,43 @@ def eval_transform(img: jnp.ndarray, out_size: int = 224) -> jnp.ndarray:
     return jnp.transpose(img, (2, 0, 1))
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def ft_train_transform(key: jax.Array, img: jnp.ndarray, out_size: int = 224,
+                       mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                       flip_h_p: float = 0.5, flip_v_p: float = 0.15,
+                       jitter: float = 0.075, jitter_p: float = 0.5
+                       ) -> jnp.ndarray:
+    """The reference's fine-tune train chain (DT/FT_image_task.py:134-288):
+    Resize(224,224) -> RandomChoice([HFlip(p_h), VFlip(p_v)]) ->
+    RandomApply([ColorJitter(s,s,s,s)], p) -> Normalize(mean,std).
+    Unlike the stage-1 pretraining chain there is NO RandomResizedCrop, and
+    mean/std + probabilities are dataset-specific. HWC [0,1] in, CHW out."""
+    k_choice, k_h, k_v, k_apply, k_jit = jax.random.split(key, 5)
+    img = resize(img, (out_size, out_size))
+    pick_h = jax.random.bernoulli(k_choice, 0.5)
+    do_h = jnp.logical_and(pick_h, jax.random.bernoulli(k_h, flip_h_p))
+    do_v = jnp.logical_and(~pick_h, jax.random.bernoulli(k_v, flip_v_p))
+    img = jnp.where(do_h, img[:, ::-1, :], img)
+    img = jnp.where(do_v, img[::-1, :, :], img)
+    jittered = color_jitter(k_jit, img, jitter, jitter, jitter, jitter)
+    img = jnp.where(jax.random.bernoulli(k_apply, jitter_p), jittered, img)
+    img = normalize(img, mean, std)
+    return jnp.transpose(img, (2, 0, 1))
+
+
+def ft_eval_transform(img: jnp.ndarray, out_size: int = 224,
+                      mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> jnp.ndarray:
+    """The reference's fine-tune eval chain: Resize((224,224)) + Normalize
+    with dataset-specific stats (DT/FT_image_task.py valid_transforms blocks).
+    HWC [0,1] in, CHW out."""
+    img = resize(img, (out_size, out_size))
+    img = normalize(img, mean, std)
+    return jnp.transpose(img, (2, 0, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def train_transform_batch(key: jax.Array, imgs: jnp.ndarray, out_size: int = 224):
     """vmapped train chain over a (B, H, W, C) [0,1] batch -> (B, C, S, S)."""

@@ -118,11 +118,16 @@ def finetune_classifier(
     schedule_milestones: Optional[Tuple[int, ...]] = None,
     log_prefix: str = "[ft]",
     preprocess_fn: Optional[Callable] = None,
+    host_batch_fn: Optional[Callable] = None,
     loss: str = "ce",
 ) -> Dict[str, float]:
     """Plain jitted fine-tune loop (replaces the reference's per-script torch
     loops and the HF Trainer for text). ``preprocess_fn`` runs on-device per
-    batch (e.g. uint8 -> normalized pixels). ``loss='mse'`` enables the
+    batch (e.g. uint8 -> normalized pixels). ``host_batch_fn(arrays, rng)``
+    runs on the host per TRAIN batch before device transfer — the hook for
+    non-jittable per-sample work like waveform augmentation (the reference
+    augments inside its Dataset __getitem__, so every epoch sees fresh
+    augmentations; FT_audio_task.py:75-82). ``loss='mse'`` enables the
     STS-B-style regression head. Returns final test metrics."""
     lr_sched: Any = lr
     if schedule_milestones:
@@ -164,7 +169,11 @@ def finetune_classifier(
         losses = []
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start: start + batch_size]
-            arrays = tuple(jnp.asarray(a[idx]) for a in train_arrays)
+            arrays = tuple(a[idx] for a in train_arrays)
+            if host_batch_fn is not None:
+                arrays = host_batch_fn(
+                    arrays, np.random.default_rng(rng.integers(2**63)))
+            arrays = tuple(jnp.asarray(a) for a in arrays)
             params, opt_state, loss = train_step(
                 params, opt_state, arrays, jnp.asarray(train_labels[idx]),
                 jax.random.fold_in(aug_key, step_i))

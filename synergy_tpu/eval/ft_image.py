@@ -17,7 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from synergy_tpu.configs import CLIPConfig
-from synergy_tpu.data.image import normalize, resize, train_transform
+from synergy_tpu.data.image import (
+    CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD,
+    ft_eval_transform, ft_train_transform,
+)
 from synergy_tpu.eval import metrics_io
 from synergy_tpu.eval.common import (
     VisionClassifier, finetune_classifier, init_from_export,
@@ -25,6 +28,31 @@ from synergy_tpu.eval.common import (
 from synergy_tpu.eval.data import load_image_dataset
 from synergy_tpu.train.checkpoint import size_tag
 from synergy_tpu.utils import set_seed, str2bool
+
+_HALF = ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+_FLOWERS = ((0.507, 0.487, 0.441), (0.267, 0.256, 0.276))
+
+# Per-dataset preprocessing chains, matching the reference's transform blocks
+# exactly (DT/FT_image_task.py): train_stats, eval_stats, flip_h_p, flip_v_p,
+# jitter strength, jitter apply-p. Quirks are preserved deliberately:
+#   * Pets trains with CLIP stats but evaluates with ImageNet stats
+#     (FT_image_task.py:234-241 vs :243-247 — the reference really does this);
+#   * Flowers uses its own stats and gentler augmentation (:192-209);
+#   * ImageNet uses ImageNet stats with jitter p=0.33, s=0.05 (:252-269).
+FT_CHAINS = {
+    "cifar-10": dict(train_stats=_HALF, eval_stats=_HALF,
+                     flip_h_p=0.5, flip_v_p=0.15, jitter=0.075, jitter_p=0.5),
+    "cifar-100": dict(train_stats=_HALF, eval_stats=_HALF,
+                      flip_h_p=0.5, flip_v_p=0.15, jitter=0.075, jitter_p=0.5),
+    "flowers": dict(train_stats=_FLOWERS, eval_stats=_FLOWERS,
+                    flip_h_p=0.25, flip_v_p=0.05, jitter=0.05, jitter_p=0.25),
+    "pets": dict(train_stats=(CLIP_MEAN, CLIP_STD),
+                 eval_stats=(IMAGENET_MEAN, IMAGENET_STD),
+                 flip_h_p=0.5, flip_v_p=0.15, jitter=0.075, jitter_p=0.5),
+    "imagenet": dict(train_stats=(IMAGENET_MEAN, IMAGENET_STD),
+                     eval_stats=(IMAGENET_MEAN, IMAGENET_STD),
+                     flip_h_p=0.5, flip_v_p=0.15, jitter=0.05, jitter_p=0.33),
+}
 
 
 def parse_args(argv=None):
@@ -74,16 +102,19 @@ def main(argv=None):
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
     params = init_from_export(params, args.ckpt_dir, tag, "vision")
 
+    chain = FT_CHAINS[args.DATASET]
+
     def preprocess(arrays, key):
         imgs = arrays[0].astype(jnp.float32) / 255.0
         if key is not None and args.augment:
             keys = jax.random.split(key, imgs.shape[0])
-            if imgs.shape[1] != size:
-                imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
-            return (jax.vmap(lambda k, im: train_transform(k, im, size))(
-                keys, imgs),)
-        imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
-        return (jnp.transpose(normalize(imgs), (0, 3, 1, 2)),)
+            mean, std = chain["train_stats"]
+            return (jax.vmap(lambda k, im: ft_train_transform(
+                k, im, size, mean, std, chain["flip_h_p"], chain["flip_v_p"],
+                chain["jitter"], chain["jitter_p"]))(keys, imgs),)
+        mean, std = chain["eval_stats"]
+        return (jax.vmap(lambda im: ft_eval_transform(im, size, mean, std))(
+            imgs),)
 
     metrics = finetune_classifier(
         model, params,

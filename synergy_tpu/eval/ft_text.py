@@ -38,7 +38,13 @@ GLUE_TASKS: Dict[str, Tuple[Tuple[str, ...], int]] = {
     "mrpc": (("sentence1", "sentence2"), 2),
     "qqp": (("question1", "question2"), 2),
     "stsb": (("sentence1", "sentence2"), 1),
+    # MNLI matched / mismatched are two first-class datasets in the reference
+    # (DT/FT_text_task.py:109-137: 'mnlim' -> validation_matched, 'mnlimm' ->
+    # validation_mismatched, both over the glue 'mnli' train split); 'mnli'
+    # is kept as an alias for the matched variant.
     "mnli": (("premise", "hypothesis"), 3),
+    "mnlim": (("premise", "hypothesis"), 3),
+    "mnlimm": (("premise", "hypothesis"), 3),
     "qnli": (("question", "sentence"), 2),
     "rte": (("sentence1", "sentence2"), 2),
     "wnli": (("sentence1", "sentence2"), 2),
@@ -78,8 +84,14 @@ def load_glue(task: str, seed: int):
     try:
         from datasets import load_dataset
 
-        ds = load_dataset("glue", task)
-        val_key = "validation_matched" if task == "mnli" else "validation"
+        hf_task = "mnli" if task.startswith("mnli") else task
+        ds = load_dataset("glue", hf_task)
+        if task == "mnlimm":
+            val_key = "validation_mismatched"
+        elif task.startswith("mnli"):
+            val_key = "validation_matched"
+        else:
+            val_key = "validation"
 
         def pack(split):
             texts = [" </s></s> ".join(str(row[k]) for k in keys)

@@ -6,9 +6,10 @@ DT/FT_*.py dataset setups). These are the standard public label lists for
 each benchmark; underscores are kept/removed exactly as each dataset ships
 them so prompt text matches the reference protocol.
 
-ImageNet-1k's 1000-name table is loaded from a user-supplied JSON
-(``imagenet_labels.json``: list of 1000 strings) since it is too large to
-embed reliably; every other benchmark is complete here.
+ImageNet-1k's 1000-name table is embedded in ``labels_imagenet.py``
+(reference ZS_image_task.py:27-1028 embeds the same public table); a
+user-supplied JSON (``imagenet_labels.json``) still overrides it when
+present, e.g. for a different naming convention.
 """
 
 from __future__ import annotations
@@ -100,14 +101,16 @@ URBANSOUND8K: List[str] = [
 
 
 def imagenet_labels(path: str = "imagenet_labels.json") -> List[str]:
-    """1000 ImageNet class names from a user-supplied JSON list; falls back
-    to placeholder names so pipelines stay runnable without the file."""
+    """The 1000 ImageNet-1k class names (embedded, no external file needed);
+    a user-supplied JSON list at ``path`` overrides the built-in table."""
     if os.path.exists(path):
         with open(path) as f:
             labels = json.load(f)
         assert len(labels) == 1000
         return labels
-    return [f"class {i}" for i in range(1000)]
+    from synergy_tpu.eval.labels_imagenet import IMAGENET_1K
+
+    return list(IMAGENET_1K)
 
 
 LABELS: Dict[str, List[str]] = {

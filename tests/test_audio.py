@@ -105,3 +105,27 @@ def test_read_wav_roundtrip(tmp_path, rng):
     out, sr = A.read_wav(str(p))
     assert sr == 16000
     np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_ragged_fbank_matches_extract(rng):
+    """Batched ragged fbank (fixed padded shape + true lengths) must equal
+    per-waveform extract_fbank for every length — the augmentation path's
+    no-recompile handle."""
+    from synergy_tpu.data.audio import (
+        FRAME_LENGTH, HOP_LENGTH, extract_fbank, log_mel_fbank_ragged,
+    )
+
+    import jax.numpy as jnp
+
+    max_frames = 24
+    n_fixed = FRAME_LENGTH + (max_frames - 1) * HOP_LENGTH
+    lengths = [n_fixed, 2500, 701, FRAME_LENGTH, FRAME_LENGTH - 1]
+    padded = np.zeros((len(lengths), n_fixed), np.float32)
+    for i, n in enumerate(lengths):
+        padded[i, :n] = rng.standard_normal(n).astype(np.float32) * 0.1
+    out = np.asarray(log_mel_fbank_ragged(
+        jnp.asarray(padded), jnp.asarray(np.asarray(lengths, np.int32)),
+        max_frames=max_frames))
+    for i, n in enumerate(lengths):
+        ref = extract_fbank(padded[i, :n], max_frames=max_frames)
+        np.testing.assert_allclose(out[i], ref, atol=1e-5, rtol=1e-5)

@@ -18,7 +18,14 @@ def test_labels_tables():
     assert len(L.ESC50) == 50
     assert len(L.URBANSOUND8K) == 10
     assert L.clean_label("sea_waves") == "sea waves"
-    assert len(L.imagenet_labels("/nonexistent.json")) == 1000
+    # embedded ImageNet-1k table: real names, no external file required
+    inet = L.imagenet_labels("/nonexistent.json")
+    # 999 distinct strings: the canonical table names both the bird (134)
+    # and the machine (517) just 'crane'
+    assert len(inet) == 1000 and len(set(inet)) == 999
+    assert inet[0] == "tench, Tinca tinca"
+    assert inet[999] == "toilet tissue, toilet paper, bathroom tissue"
+    assert not any(n.startswith("class ") for n in inet)
 
 
 def test_metrics_io_accumulates(tmp_path):
@@ -112,6 +119,23 @@ def test_ft_text_cli_classification(tmp_path):
               "--ckpt_dir", str(tmp_path / "none"),
               "--metric_path", str(tmp_path / "M_TXT.json")])
     assert "accuracy" in m
+
+
+def test_ft_text_mnli_variants(tmp_path):
+    """mnlim / mnlimm are first-class datasets (reference
+    FT_text_task.py:109-137): both 3-way, mismatched selects the
+    validation_mismatched split when real GLUE data is present."""
+    from synergy_tpu.eval.ft_text import GLUE_TASKS, main
+
+    for task in ("mnlim", "mnlimm"):
+        assert GLUE_TASKS[task] == (("premise", "hypothesis"), 3)
+    m = main(["--tiny", "true", "--DATASET", "mnlimm", "--EPOCHS", "1",
+              "--BATCH_SIZE", "8",
+              "--ckpt_dir", str(tmp_path / "none"),
+              "--metric_path", str(tmp_path / "M_TXT.json")])
+    assert "accuracy" in m
+    saved = json.load(open(tmp_path / "M_TXT.json"))
+    assert "mnlimm" in saved["base_prompt"]
 
 
 def test_ft_text_cli_regression(tmp_path):

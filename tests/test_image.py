@@ -84,3 +84,68 @@ def test_train_transform_batch(rng):
     assert np.isfinite(np.asarray(out)).all()
     # normalized stats should be roughly standard
     assert abs(float(out.mean())) < 2.0
+
+
+def test_ft_eval_transform_pinned(rng):
+    """Per-dataset FT eval chain = Resize((S,S)) + Normalize(stats) in CHW
+    (reference FT_image_task.py valid_transforms blocks), pinned against a
+    manual composition and a golden value."""
+    from synergy_tpu.data.image import ft_eval_transform, normalize, resize
+
+    img = jnp.asarray(rng.random((17, 23, 3)), jnp.float32)
+    out = ft_eval_transform(img, 32, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    manual = jnp.transpose(
+        normalize(resize(img, (32, 32)), (0.5,) * 3, (0.5,) * 3), (2, 0, 1))
+    assert out.shape == (3, 32, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual), atol=1e-6)
+    # Normalize((0.5,)*3,(0.5,)*3) maps [0,1] -> [-1,1]
+    assert float(out.min()) >= -1.0 - 1e-5 and float(out.max()) <= 1.0 + 1e-5
+    golden = ft_eval_transform(jnp.full((8, 8, 3), 0.25), 8,
+                               (0.5,) * 3, (0.5,) * 3)
+    np.testing.assert_allclose(np.asarray(golden), -0.5, atol=1e-6)
+
+
+def test_ft_train_transform_no_random_crop(rng):
+    """The FT train chain has NO RandomResizedCrop: with all probabilities
+    zeroed it reduces exactly to the eval chain (unlike the stage-1
+    pretraining chain, which always crops)."""
+    from synergy_tpu.data.image import ft_eval_transform, ft_train_transform
+
+    img = jnp.asarray(rng.random((40, 40, 3)), jnp.float32)
+    stats = ((0.507, 0.487, 0.441), (0.267, 0.256, 0.276))
+    out = ft_train_transform(jax.random.PRNGKey(3), img, 32, *stats,
+                             flip_h_p=0.0, flip_v_p=0.0,
+                             jitter=0.05, jitter_p=0.0)
+    ref = ft_eval_transform(img, 32, *stats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # and with probabilities on, the output is still a valid normalized image
+    out2 = ft_train_transform(jax.random.PRNGKey(4), img, 32, *stats)
+    assert out2.shape == (3, 32, 32) and np.isfinite(np.asarray(out2)).all()
+
+
+def test_ft_chain_table_matches_reference():
+    """Pin the per-dataset constants to the reference transform blocks
+    (FT_image_task.py:134-288), incl. the Pets train-CLIP/eval-ImageNet
+    quirk."""
+    from synergy_tpu.data.image import (
+        CLIP_MEAN, CLIP_STD, IMAGENET_MEAN, IMAGENET_STD,
+    )
+    from synergy_tpu.eval.ft_image import FT_CHAINS
+
+    assert set(FT_CHAINS) == {"cifar-10", "cifar-100", "pets", "flowers",
+                              "imagenet"}
+    for d in ("cifar-10", "cifar-100"):
+        c = FT_CHAINS[d]
+        assert c["train_stats"] == c["eval_stats"] == ((0.5,) * 3, (0.5,) * 3)
+        assert (c["flip_h_p"], c["flip_v_p"]) == (0.5, 0.15)
+        assert (c["jitter"], c["jitter_p"]) == (0.075, 0.5)
+    f = FT_CHAINS["flowers"]
+    assert f["train_stats"] == ((0.507, 0.487, 0.441), (0.267, 0.256, 0.276))
+    assert (f["flip_h_p"], f["flip_v_p"], f["jitter"], f["jitter_p"]) == \
+        (0.25, 0.05, 0.05, 0.25)
+    p = FT_CHAINS["pets"]
+    assert p["train_stats"] == (CLIP_MEAN, CLIP_STD)
+    assert p["eval_stats"] == (IMAGENET_MEAN, IMAGENET_STD)
+    i = FT_CHAINS["imagenet"]
+    assert i["train_stats"] == (IMAGENET_MEAN, IMAGENET_STD)
+    assert (i["jitter"], i["jitter_p"]) == (0.05, 0.33)
