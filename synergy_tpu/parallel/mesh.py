@@ -82,6 +82,35 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: Optional[bool] = None):
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state, params,
+                        tensor_parallel: Optional[bool] = None):
+    """Sharding pytree for an optimizer state: leaves that mirror a param
+    (Adam m/v moments, MultiSteps grad accumulators — identified by param
+    path suffix + identical shape) take that param's PartitionSpec; scalars
+    and counters are replicated. Without this, TP mode replicates the Adam
+    moments (2x params) on every model-axis device, defeating the memory
+    point of sharding the params."""
+    if tensor_parallel is None:
+        tensor_parallel = mesh.shape.get("model", 1) > 1
+    specs = param_partition_specs(params, tensor_parallel)
+    by_path = {}
+    for (path, leaf), (_, spec) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(specs)):
+        by_path[_path_str(path)] = (spec, getattr(leaf, "shape", None))
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        shape = getattr(leaf, "shape", None)
+        for p_path, (spec, p_shape) in by_path.items():
+            if shape == p_shape and (s == p_path or s.endswith("/" + p_path)):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(
+        spec_for, opt_state, is_leaf=lambda x: hasattr(x, "shape"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over 'data' for every batch leaf."""
     return NamedSharding(mesh, P("data"))

@@ -39,7 +39,7 @@ from synergy_tpu.parallel.distributed import (
     is_primary, maybe_initialize_distributed,
 )
 from synergy_tpu.parallel.mesh import (
-    batch_sharding, create_mesh, param_shardings, replicated,
+    batch_sharding, create_mesh, opt_state_shardings, param_shardings,
 )
 from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.train.state import (
@@ -159,15 +159,14 @@ def main(argv=None):
     }
     state = create_train_state(key, model, train_cfg, sample)
 
-    # shard: params per partition rules, batch over 'data'
+    # shard: params per partition rules, opt state mirrors the params (Adam
+    # moments follow their param's spec; counters replicated), batch on 'data'
     p_shardings = param_shardings(mesh, state.params)
     state = state.replace(
         params=jax.device_put(state.params, p_shardings),
         opt_state=jax.device_put(
             state.opt_state,
-            jax.tree_util.tree_map(
-                lambda x: replicated(mesh), state.opt_state,
-                is_leaf=lambda x: hasattr(x, "shape"))),
+            opt_state_shardings(mesh, state.opt_state, state.params)),
     )
 
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)

@@ -23,6 +23,12 @@ if os.environ.get("SYNERGY_TEST_TPU", "0") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # This CPU backend's DEFAULT matmul precision is reduced (oneDNN
+    # bf16-class: ~6e-3 abs error on a 768-dim contraction vs 3e-7 at
+    # float32). Parity oracles compare against torch true-f32 matmuls, so
+    # force full precision for the test lane; the library itself keeps the
+    # platform default (TPU trains in bf16 by design).
+    jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -78,7 +78,11 @@ def test_flash_with_bias_falls_back(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-@pytest.mark.parametrize("seq", [128, 200, 852])
+@pytest.mark.parametrize("seq", [
+    128,
+    pytest.param(200, marks=pytest.mark.slow),
+    pytest.param(852, marks=pytest.mark.slow),
+])
 def test_flash_grad(rng, seq):
     q, k, v = _rand_qkv(rng, b=1, h=2, sq=seq, sk=seq, d=32)
 

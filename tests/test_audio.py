@@ -48,6 +48,7 @@ def test_fbank_f64_matches_ast_extractor_exactly(hf_extractor, rng):
         np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fbank_matches_ast_extractor(hf_extractor, rng):
     """The float32 JAX path agrees within f32 FFT precision (TPU has no f64)."""
     for wave in _waves(rng):

@@ -55,6 +55,7 @@ def test_glue_metric_functions():
     assert p > 99 and s == pytest.approx(100.0)
 
 
+@pytest.mark.slow
 def test_zs_image_cli(tmp_path):
     from synergy_tpu.eval.zs_image import main
 
@@ -66,6 +67,7 @@ def test_zs_image_cli(tmp_path):
     assert os.path.exists(tmp_path / "ZS_IMG.json")
 
 
+@pytest.mark.slow
 def test_zs_audio_cli(tmp_path):
     from synergy_tpu.eval.zs_audio import main
 
@@ -89,6 +91,7 @@ def test_zs_task_dispatch(tmp_path):
               "--ckpt_dir", str(tmp_path / "none")])
 
 
+@pytest.mark.slow
 def test_ft_image_cli(tmp_path):
     from synergy_tpu.eval.ft_image import main
 
@@ -100,6 +103,7 @@ def test_ft_image_cli(tmp_path):
     assert 0.0 <= m["accuracy"] <= 100.0
 
 
+@pytest.mark.slow
 def test_ft_audio_cli(tmp_path):
     from synergy_tpu.eval.ft_audio import main
 
@@ -111,6 +115,7 @@ def test_ft_audio_cli(tmp_path):
     assert 0.0 <= m["accuracy"] <= 100.0
 
 
+@pytest.mark.slow
 def test_ft_text_cli_classification(tmp_path):
     from synergy_tpu.eval.ft_text import main
 
@@ -121,6 +126,7 @@ def test_ft_text_cli_classification(tmp_path):
     assert "accuracy" in m
 
 
+@pytest.mark.slow
 def test_ft_text_mnli_variants(tmp_path):
     """mnlim / mnlimm are first-class datasets (reference
     FT_text_task.py:109-137): both 3-way, mismatched selects the
@@ -138,6 +144,7 @@ def test_ft_text_mnli_variants(tmp_path):
     assert "mnlimm" in saved["base_prompt"]
 
 
+@pytest.mark.slow
 def test_ft_text_cli_regression(tmp_path):
     from synergy_tpu.eval.ft_text import main
 

@@ -77,6 +77,7 @@ def test_adjust_hue_identity(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_transform_batch(rng):
     imgs = jnp.asarray(rng.random((4, 256, 256, 3)), jnp.float32)
     out = I.train_transform_batch(jax.random.PRNGKey(0), imgs)

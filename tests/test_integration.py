@@ -38,6 +38,7 @@ def _correlated_batch(cfg, rng, batch=16, n_classes=4, seq=8):
     }, cls
 
 
+@pytest.mark.slow
 def test_contrastive_training_learns():
     cfg = CLIPConfig.tiny()
     tcfg = TrainConfig(per_device_batch=16, accum_steps=1, learning_rate=3e-4)
@@ -66,6 +67,7 @@ def test_contrastive_training_learns():
     assert acc >= 0.25, acc
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(tmp_path):
     """Two identical synthetic pretrain runs must produce bit-identical
     parameters (the reference only gets reproducibility via cudnn-
@@ -83,6 +85,7 @@ def test_training_is_deterministic(tmp_path):
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
 
 
+@pytest.mark.slow
 def test_checkpoint_chains_into_zs_and_ft(tmp_path):
     """pretrain CLI -> export contract -> zs/ft CLIs consume it."""
     from synergy_tpu.eval.ft_image import main as ft_main

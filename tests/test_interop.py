@@ -81,6 +81,7 @@ def _reference_forward(m, pixel, ids, mask, fbank):
         return norm(img), norm(txt), norm(aud)
 
 
+@pytest.mark.slow
 def test_tri_clip_checkpoint_roundtrip_and_parity(tmp_path, torch_tri_clip,
                                                   jax_cfg, rng):
     m = torch_tri_clip

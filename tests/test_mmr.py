@@ -83,6 +83,7 @@ def test_mmr_text_loss(rng):
     assert 0.0 <= float(acc) <= 1.0 and float(zero) == 0.0
 
 
+@pytest.mark.slow
 def test_decoder_shapes():
     from synergy_tpu.models.mmr import AUDDecoder, IMGDecoder, TXTDecoder
     from synergy_tpu.train.mmr import tiny_recon_config
@@ -119,7 +120,11 @@ def test_base_decoder_shapes():
     assert out.shape == (1, 256, 64)
 
 
-@pytest.mark.parametrize("mm", ["aud", "img", "txt"])
+@pytest.mark.parametrize("mm", [
+    pytest.param("aud", marks=pytest.mark.slow),
+    pytest.param("img", marks=pytest.mark.slow),
+    pytest.param("txt", marks=pytest.mark.slow),
+])
 def test_mmr_cli_tiny(tmp_path, mm):
     from synergy_tpu.train.mmr import main
 

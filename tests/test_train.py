@@ -44,6 +44,7 @@ def tiny_setup():
     return cfg, tcfg, model, batch, state
 
 
+@pytest.mark.slow
 def test_mesh_and_partition_specs(tiny_setup):
     cfg, tcfg, model, batch, state = tiny_setup
     mesh = create_mesh((4, 2))
@@ -71,6 +72,7 @@ def test_mesh_and_partition_specs(tiny_setup):
     assert all(s == P(None, None, "model") for s in sfc1) and sfc1
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(tiny_setup):
     """DP+TP sharded loss/grads must match the unsharded computation.
 
@@ -104,6 +106,7 @@ def test_sharded_train_step_matches_single_device(tiny_setup):
     assert all(jax.tree_util.tree_leaves(ok))
 
 
+@pytest.mark.slow
 def test_local_negatives_differ_from_global(tiny_setup):
     cfg, tcfg, model, batch, state = tiny_setup
     step_g = make_train_step(model, tcfg, num_groups=1)
@@ -114,6 +117,7 @@ def test_local_negatives_differ_from_global(tiny_setup):
     assert float(ml["loss"]) < float(mg["loss"])
 
 
+@pytest.mark.slow
 def test_grad_accumulation_semantics(tiny_setup):
     """With MultiSteps(k), params change only every k microbatches."""
     cfg, _, model, batch, _ = tiny_setup
@@ -131,6 +135,7 @@ def test_grad_accumulation_semantics(tiny_setup):
     assert d2 > 0.0  # second applies
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     cfg, tcfg, model, batch, state = tiny_setup
     tag = ckpt.size_tag(True, False)
@@ -150,6 +155,7 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     assert float(rebuilt["logit_scale_IT"]) == pytest.approx(2.6592)
 
 
+@pytest.mark.slow
 def test_pretrain_cli_synthetic(tmp_path):
     """Drive the real CLI main() end-to-end on the CPU mesh."""
     from synergy_tpu.train.pretrain import main
@@ -162,3 +168,48 @@ def test_pretrain_cli_synthetic(tmp_path):
     ])
     assert int(state.step) >= 1
     assert ckpt.latest_step(str(tmp_path / "ck"), "base_prompt") is not None
+
+
+def test_opt_state_sharding_mirrors_params(tiny_setup):
+    """TP mode must shard the Adam moments (and MultiSteps accumulators) with
+    the same specs as their params — replicating them multiplies optimizer
+    HBM by the TP degree on exactly the config TP exists for."""
+    from synergy_tpu.parallel.mesh import opt_state_shardings
+
+    cfg, _, model, batch, _ = tiny_setup
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=2, learning_rate=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch)
+    mesh = create_mesh((4, 2))
+    p_sh = param_shardings(mesh, state.params)
+    o_sh = opt_state_shardings(mesh, state.opt_state, state.params)
+    placed = jax.device_put(state.opt_state, o_sh)
+
+    # collect NamedShardings by path string
+    def flat(tree, with_shape=False):
+        out = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                           for k in path)
+            out[key] = leaf
+        return out
+
+    params_spec = {p: s.spec for p, s in flat(p_sh).items()}
+    sharded_params = {p for p, s in params_spec.items()
+                      if any(ax is not None for ax in s)}
+    assert sharded_params, "tiny config must have TP-sharded params"
+
+    moments = 0
+    for path, leaf in flat(placed).items():
+        if not hasattr(leaf, "sharding"):
+            continue
+        for p, spec in params_spec.items():
+            if path == p or path.endswith("/" + p):
+                assert leaf.sharding.spec == spec, (path, leaf.sharding.spec)
+                if p in sharded_params:
+                    moments += 1
+                break
+        else:
+            # non-param leaf (counter / schedule state): replicated
+            assert all(ax is None for ax in leaf.sharding.spec), path
+    # mu + nu + MultiSteps acc for each sharded param = 3 hits minimum
+    assert moments >= 3 * len(sharded_params), (moments, len(sharded_params))

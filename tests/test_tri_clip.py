@@ -80,6 +80,7 @@ def test_tri_clip_forward_and_scales(tiny_model):
         assert np.isfinite(float(l))
 
 
+@pytest.mark.slow
 def test_sim_scores(tiny_model):
     cfg, model, params = tiny_model
     rng = np.random.default_rng(1)
