@@ -107,3 +107,65 @@ def test_checkpoint_chains_into_zs_and_ft(tmp_path):
                   "--ckpt_dir", ck, "--data_root", str(tmp_path / "nodata"),
                   "--metric_path", str(tmp_path / "FT.json")])
     assert "accuracy" in m2
+
+
+@pytest.mark.slow
+def test_pretrain_cli_on_real_files(tmp_path):
+    """Dress rehearsal for the VGGSound path: a realistic CSV of JPEG/WAV
+    files on disk driven through train/pretrain.py main() with NO synthetic
+    fallback — decode, device preprocessing, train/val loops, checkpoint."""
+    import json as jsonmod
+    import wave as wavmod
+
+    import pandas as pd
+    from PIL import Image
+
+    from synergy_tpu.train.pretrain import build_datasets, main
+
+    d = tmp_path / "vgg"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    labels = ["dog barking", "rain", "fireworks", "playing violin"]
+    rows = []
+    for i in range(24):
+        img_path = str(d / f"img{i}.jpg")
+        Image.fromarray((rng.random((180, 240, 3)) * 255).astype(np.uint8)
+                        ).save(img_path)
+        wav_path = str(d / f"a{i}.wav")
+        pcm = (np.sin(2 * np.pi * (200 + 40 * i)
+                      * np.arange(22050) / 22050.0) * 2000).astype("<i2")
+        with wavmod.open(wav_path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes(pcm.tobytes())
+        rows.append((img_path, wav_path, labels[i % 4], f"caption {i}"))
+    train_csv = str(d / "train.csv")
+    valid_csv = str(d / "valid.csv")
+    pd.DataFrame(rows[:16], columns=["img_path", "wav_path", "label", "caption"]
+                 ).to_csv(train_csv, index=False)
+    pd.DataFrame(rows[16:], columns=["img_path", "wav_path", "label", "caption"]
+                 ).to_csv(valid_csv, index=False)
+
+    argv = ["--tiny", "true", "--synthetic", "false",
+            "--train_csv", train_csv, "--valid_csv", valid_csv,
+            "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+            "--ckpt_dir", str(tmp_path / "ck"),
+            "--log_file", str(tmp_path / "log.jsonl")]
+
+    # guard: with these flags the CSV dataset (not synthetic) must be chosen
+    import argparse
+
+    from synergy_tpu.data.pipeline import CSVTriModalDataset
+    from synergy_tpu.train.pretrain import parse_args
+
+    ds_train, ds_valid = build_datasets(parse_args(argv))
+    assert isinstance(ds_train, CSVTriModalDataset)
+    assert isinstance(ds_valid, CSVTriModalDataset)
+
+    main(argv)
+    assert (tmp_path / "ck" / "base_prompt").exists()
+    log_lines = [jsonmod.loads(l)
+                 for l in open(tmp_path / "log.jsonl").read().splitlines()]
+    assert any("loss" in rec for rec in log_lines)
+    assert all(np.isfinite(rec["loss"]) for rec in log_lines if "loss" in rec)
