@@ -8,6 +8,7 @@ they differ only in norm placement and activation.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -56,17 +57,67 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-compatible {kernel, bias} param pair without
+    binding the compute, so MLPBlock can route the math to a fused Pallas
+    kernel. Param tree/init are bit-identical to nn.Dense (lecun_normal /
+    zeros, f32 param dtype) — checkpoints and the HF port are unaffected."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+def _resolve_mlp_impl(n_rows: int, d_in: int, d_ff: int, d_out: int,
+                      override: Optional[str]) -> str:
+    """'fused' routes to the Pallas fused-MLP kernel (ops/fused_mlp.py).
+
+    Auto policy (measured on v5e, see docs/BENCHMARKS.md): the fused kernel
+    wins when there are enough rows to fill the MXU pipeline and all dims are
+    lane-aligned; tiny/ragged shapes and non-TPU backends use plain XLA."""
+    mode = override or os.environ.get("SYNERGY_FUSED_MLP", "auto")
+    if mode in ("0", "off", "false", "xla"):
+        return "xla"
+    if mode in ("1", "on", "true", "fused", "pallas"):
+        return "fused"
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = d_in % 128 == 0 and d_ff % 128 == 0 and d_out % 128 == 0
+    return "fused" if (on_tpu and aligned and n_rows >= 1024) else "xla"
+
+
 class MLPBlock(nn.Module):
     intermediate_size: int
     hidden_size: int
     act: str
     dtype: jnp.dtype = jnp.float32
+    mlp_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        w1, b1 = _DenseParams(self.intermediate_size, name="fc1")(x.shape[-1])
+        w2, b2 = _DenseParams(self.hidden_size, name="fc2")(
+            self.intermediate_size)
+        n_rows = 1
+        for s in x.shape[:-1]:
+            n_rows *= s
+        impl = _resolve_mlp_impl(n_rows, x.shape[-1], self.intermediate_size,
+                                 self.hidden_size, self.mlp_impl)
+        if impl == "fused":
+            from synergy_tpu.ops.fused_mlp import fused_mlp
+
+            return fused_mlp(x.astype(self.dtype), w1.astype(self.dtype),
+                             b1.astype(self.dtype), w2.astype(self.dtype),
+                             b2.astype(self.dtype), self.act)
+        x = jnp.dot(x.astype(self.dtype), w1.astype(self.dtype)) \
+            + b1.astype(self.dtype)
         x = ACTIVATIONS[self.act](x)
-        return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
+        return jnp.dot(x, w2.astype(self.dtype)) + b2.astype(self.dtype)
 
 
 class EncoderLayer(nn.Module):

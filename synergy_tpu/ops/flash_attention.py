@@ -17,6 +17,7 @@ threshold anyway (ops/attention.py routing).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,14 @@ NEG_INF = -1e30
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _head_dim_pad(d: int) -> int:
+    """Padded head dim. d=64 (every tower here) is NOT padded: Mosaic handles
+    half-lane-width tiles natively, and an explicit pad to 128 both
+    materializes padded HBM copies of q/k/v/do (367 MB apiece at batch 140 —
+    the round-2 OOM) and doubles the QK^T contraction work on zeros."""
+    return d if (d % 128 == 0 or d == 64) else _round_up(d, 128)
 
 
 def _block_policy(sq: int, kv_len: int):
@@ -98,7 +107,7 @@ def _flash_forward(q, k, v, block_q: int = None, block_k: int = None):
     block_k = block_k or auto_bk
     sq_pad = _round_up(sq, block_q)
     kv_pad = _round_up(kv_len, block_k)
-    d_pad = _round_up(d, 128)
+    d_pad = _head_dim_pad(d)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
@@ -142,6 +151,40 @@ def _flash_forward(q, k, v, block_q: int = None, block_k: int = None):
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+
+def _bwd_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dq_ref, dk_ref, dv_ref, *, q_len: int, kv_len: int,
+                        sm_scale: float):
+    """Whole-sequence backward: one program per (batch, head) recomputes the
+    score tile ONCE and emits dQ, dK, dV together. vs the two-kernel split
+    (dQ grid + dK/dV grid) this halves the s/p recompute (one QK^T matmul and
+    one exp sweep instead of two) — it engages whenever the fwd whole-seq
+    block policy was active, i.e. all sequence lengths in this workload."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where((col < kv_len) & (row < q_len), s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dv = jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, kv_len: int, block_k: int, sm_scale: float):
@@ -221,7 +264,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = None,
     assert sq_pad == lse.shape[-1], (
         f"bwd block_q must match fwd padding: {sq_pad} vs {lse.shape[-1]}")
     kv_pad = _round_up(kv_len, block_k)
-    d_pad = _round_up(d, 128)
+    d_pad = _head_dim_pad(d)
     pad_q = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sq_pad - sq),
                                   (0, d_pad - d))).reshape(b * h, sq_pad, d_pad)
     pad_k = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, kv_pad - kv_len),
@@ -234,6 +277,38 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = None,
     delta = jnp.broadcast_to(delta[:, None, :], lse_p.shape)
 
     sm_scale = 1.0 / (d ** 0.5)
+    onepass = os.environ.get("SYNERGY_FLASH_ONEPASS", "auto") != "off"
+    if onepass and block_q == sq_pad and block_k == kv_pad:
+        # whole-seq blocks: single-program one-pass backward (s recomputed
+        # once; ~1.3x over the two-kernel split at 852 tokens on v5e)
+        full_q = pl.BlockSpec((1, sq_pad, d_pad), lambda bh: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+        full_k = pl.BlockSpec((1, kv_pad, d_pad), lambda bh: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+        full_lse = pl.BlockSpec((1, 8, sq_pad), lambda bh: (bh, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_onepass_kernel, q_len=sq, kv_len=kv_len,
+                              sm_scale=sm_scale),
+            grid=(b * h,),
+            in_specs=[full_q, full_k, full_k, full_q, full_lse, full_lse],
+            out_specs=(full_q, full_k, full_k),
+            out_shape=(jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+                       jax.ShapeDtypeStruct((b * h, kv_pad, d_pad), k.dtype),
+                       jax.ShapeDtypeStruct((b * h, kv_pad, d_pad), v.dtype)),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * h * sq_pad * kv_pad * d_pad,
+                bytes_accessed=3 * (qp.size + kp.size + vp.size)
+                               * qp.dtype.itemsize,
+                transcendentals=b * h * sq_pad * kv_pad,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(qp, kp, vp, dop, lse_p, delta)
+        unpad_q1 = lambda t: t.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+        unpad_k1 = lambda t: t.reshape(b, h, kv_pad, d_pad)[:, :, :kv_len, :d]
+        return unpad_q1(dq), unpad_k1(dk), unpad_k1(dv)
+
     q_spec = pl.BlockSpec((1, block_q, d_pad), lambda bh, qb: (bh, qb, 0),
                           memory_space=pltpu.VMEM)
     qfull_spec = pl.BlockSpec((1, sq_pad, d_pad), lambda bh, xb: (bh, 0, 0),

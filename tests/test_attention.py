@@ -99,3 +99,37 @@ def test_flash_grad(rng, seq):
         err = np.abs(np.asarray(a) - np.asarray(b)).max()
         scale = max(1.0, float(np.abs(np.asarray(b)).max()))
         assert err <= 2e-4 * scale, f"d{name}: {err} (scale {scale})"
+
+
+def test_flash_grads_at_audio_lengths(rng):
+    """Gradient parity at the AST Base length (one-pass whole-seq backward)."""
+    q, k, v = _rand_qkv(rng, b=1, h=1, sq=852, sk=852, d=64)
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(xla_attention, *a), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda *a: loss(fa.flash_attention, *a),
+                     argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err <= 2e-4 * scale, f"d{name}: {err} vs scale {scale}"
+
+
+def test_flash_grads_loop_path(rng):
+    """Gradient parity when kv > 2048 forces the two-kernel flash loop."""
+    q, k, v = _rand_qkv(rng, b=1, h=1, sq=2304, sk=2304, d=32)
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(xla_attention, *a), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda *a: loss(fa.flash_attention, *a),
+                     argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err <= 2e-4 * scale, f"d{name}: {err} vs scale {scale}"
