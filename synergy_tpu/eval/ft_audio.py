@@ -26,7 +26,7 @@ from synergy_tpu.eval.common import (
 )
 from synergy_tpu.eval.data import load_audio_dataset
 from synergy_tpu.train.checkpoint import size_tag
-from synergy_tpu.utils import set_seed, str2bool
+from synergy_tpu.utils import enable_compilation_cache, set_seed, str2bool
 
 
 def parse_args(argv=None):
@@ -55,6 +55,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     set_seed(args.SEED)
     cfg = CLIPConfig.tiny() if args.tiny else (
         CLIPConfig.base() if args.IS_BASE else CLIPConfig.large())

@@ -28,7 +28,7 @@ from synergy_tpu.eval.common import (
 )
 from synergy_tpu.data.pipeline import get_tokenizer
 from synergy_tpu.train.checkpoint import size_tag
-from synergy_tpu.utils import set_seed, str2bool
+from synergy_tpu.utils import enable_compilation_cache, set_seed, str2bool
 
 # task -> (sentence keys, num labels) (reference DT/FT_text_task.py per-task
 # blocks; 'stsb' is a regression task)
@@ -139,6 +139,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     set_seed(args.SEED)
     task = args.DATASET
     keys, num_labels = GLUE_TASKS[task]

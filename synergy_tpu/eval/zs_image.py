@@ -22,7 +22,7 @@ from synergy_tpu.eval.zs_common import (
     zs_image_scores,
 )
 from synergy_tpu.train.checkpoint import size_tag
-from synergy_tpu.utils import set_seed, str2bool
+from synergy_tpu.utils import enable_compilation_cache, set_seed, str2bool
 
 
 def parse_args(argv=None):
@@ -45,6 +45,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     set_seed(args.SEED)
     model, params = build_tri_clip(args)
     cfg = model.config

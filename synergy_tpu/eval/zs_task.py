@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 
 from synergy_tpu.eval import metrics_io, zs_audio, zs_image
-from synergy_tpu.utils import str2bool
+from synergy_tpu.utils import enable_compilation_cache, str2bool
 
 
 def parse_args(argv=None):
@@ -34,6 +34,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     is_audio = args.DATASET in ("esc50", "urbansound8k")
     mm = args.MM or ("TA" if is_audio else "IT")
     sub_argv = [

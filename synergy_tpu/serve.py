@@ -41,7 +41,7 @@ from synergy_tpu.data.pipeline import get_tokenizer
 from synergy_tpu.losses import l2_normalize
 from synergy_tpu.models.tri_clip import TriCLIP
 from synergy_tpu.train import checkpoint as ckpt
-from synergy_tpu.utils import str2bool
+from synergy_tpu.utils import enable_compilation_cache, str2bool
 
 
 def _bucket(n: int, max_batch: int) -> int:
@@ -213,6 +213,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8990)
     p.add_argument("--host", type=str, default="127.0.0.1")
     args = p.parse_args(argv)
+    enable_compilation_cache()
     engine = EmbeddingEngine(args.ckpt_dir, args.IS_BASE, args.IS_CAPTIONED,
                              args.tiny, args.vocab_dir)
     server = serve(engine, args.port, args.host)

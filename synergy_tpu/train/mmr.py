@@ -41,7 +41,7 @@ from synergy_tpu.models.tri_clip import TriCLIP
 from synergy_tpu.ops.ssim import ssim as ssim_fn
 from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.train.deploy import deploy
-from synergy_tpu.utils import psnr as psnr_fn
+from synergy_tpu.utils import enable_compilation_cache, psnr as psnr_fn
 from synergy_tpu.utils import set_seed, str2bool
 
 CATE_IDX = [[39, 74], [75, 83, 99], [42, 62, 225], [21, 24, 20]]  # main_MMR.py:49
@@ -141,6 +141,7 @@ def make_batch(args, recon_cfg, tokenizer):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     key = set_seed(args.SEED)
     model_sz = "base" if args.IS_BASE else "large"
     text_des = "caption" if args.IS_CAPTIONED else "prompt"
@@ -203,9 +204,13 @@ def main(argv=None):
     step = jax.jit(step)
 
     t0 = time.time()
+    t_first = None
     for e in range(args.epochs):
         w_params, w_stats, opt_state, loss, m1, m2 = step(
             w_params, w_stats, opt_state, feats, jax.random.fold_in(key, 100 + e))
+        if e == 0:
+            jax.block_until_ready(loss)
+            t_first = time.time() - t0
         if (e + 1) % max(1, args.epochs // 10) == 0:
             if args.MM == "txt":
                 print(f"[mmr] epoch {e + 1}/{args.epochs} "
@@ -214,7 +219,10 @@ def main(argv=None):
                 print(f"[mmr] epoch {e + 1}/{args.epochs} "
                       f"loss={float(loss):.4f} MSE={float(m1):.4f} "
                       f"SSIM={1 - float(m2):.4f}")
-    print(f"[mmr] trained {args.epochs} epochs in {time.time() - t0:.1f}s")
+    total = time.time() - t0
+    steady = (total - t_first) / max(1, args.epochs - 1)
+    print(f"[mmr] trained {args.epochs} epochs in {total:.1f}s "
+          f"(compile+first step {t_first:.1f}s, then {steady * 1e3:.0f} ms/step)")
 
     # save wrapper (MRL contract, main_MMR.py:30-37)
     out_base = os.path.join(args.out_dir, f"{model_sz}_{text_des}", args.MM)

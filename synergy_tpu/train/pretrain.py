@@ -45,7 +45,7 @@ from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.train.state import (
     create_train_state, make_eval_step, make_train_step,
 )
-from synergy_tpu.utils import set_seed, str2bool
+from synergy_tpu.utils import enable_compilation_cache, set_seed, str2bool
 
 
 def parse_args(argv=None):
@@ -114,6 +114,7 @@ def build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    enable_compilation_cache()
     key = set_seed(args.SEED)
     maybe_initialize_distributed()
 

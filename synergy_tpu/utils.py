@@ -28,6 +28,21 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user dir so repeat
+    CLI invocations skip the multi-minute XLA compile of the Base train/eval
+    steps (the first MMR step compiles for ~4 min cold; ~seconds warm).
+    Call from CLI entry points; safe to call more than once."""
+    try:
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "synergy_tpu",
+                             "xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 def set_seed(seed: int) -> jax.Array:
     """Seed host RNGs and return a JAX PRNG key (reference utils.py:45-51).
 
