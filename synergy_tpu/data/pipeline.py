@@ -158,7 +158,8 @@ class TriModalLoader:
 
     def __init__(self, dataset, tokenizer, batch_size: int,
                  seq_max_length: int = 32, shuffle: bool = True,
-                 seed: int = 0, num_workers: int = 8, drop_last: bool = True):
+                 seed: int = 0, num_workers: int = 8, drop_last: bool = True,
+                 shard: tuple = (0, 1)):
         self.ds = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -167,14 +168,19 @@ class TriModalLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.drop_last = drop_last
+        # (process_index, process_count): every process shuffles the full
+        # index list with the shared seed, then takes a strided slice — the
+        # reference's DistributedSampler semantics (main_pretraining.py:124-128)
+        self.shard = shard
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.ds) // self.batch_size
-        if not self.drop_last and len(self.ds) % self.batch_size:
+        local = len(self.ds) // self.shard[1]
+        n = local // self.batch_size
+        if not self.drop_last and local % self.batch_size:
             n += 1
         return n
 
@@ -182,6 +188,7 @@ class TriModalLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        order = order[self.shard[0]:: self.shard[1]]
         if self.drop_last:
             order = order[: len(self) * self.batch_size]
 

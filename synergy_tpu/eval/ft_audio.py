@@ -104,7 +104,7 @@ def main(argv=None):
 
     model = AudioClassifier(cfg.audio, len(ds.label_names), cfg.projection_dim)
     sample = jnp.zeros((1, cfg.audio.max_length, cfg.audio.num_mel_bins))
-    params = model.init(jax.random.PRNGKey(args.SEED), sample)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.SEED), sample)["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
     params = init_from_export(params, args.ckpt_dir, tag, "audio")
 

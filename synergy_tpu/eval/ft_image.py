@@ -99,7 +99,7 @@ def main(argv=None):
                              cfg.projection_dim)
     size = cfg.vision.image_size
     sample = jnp.zeros((1, 3, size, size))
-    params = model.init(jax.random.PRNGKey(args.SEED), sample)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.SEED), sample)["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
     params = init_from_export(params, args.ckpt_dir, tag, "vision")
 

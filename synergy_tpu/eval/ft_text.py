@@ -156,9 +156,9 @@ def main(argv=None):
 
     is_regression = num_labels == 1
     model = TextClassifier(cfg.text, num_labels)
-    params = model.init(jax.random.PRNGKey(args.SEED),
-                        jnp.ones((1, seq), jnp.int32),
-                        jnp.ones((1, seq), jnp.int32))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.SEED),
+                                 jnp.ones((1, seq), jnp.int32),
+                                 jnp.ones((1, seq), jnp.int32))["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
     params = init_from_export(params, args.ckpt_dir, tag, "text",
                               use_projection=False)

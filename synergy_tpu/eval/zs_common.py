@@ -39,7 +39,8 @@ def build_tri_clip(args) -> Tuple[TriCLIP, Dict]:
         img = jnp.zeros((1, 3, cfg.vision.image_size, cfg.vision.image_size))
         ids = jnp.ones((1, 8), jnp.int32)
         fb = jnp.zeros((1, cfg.audio.max_length, cfg.audio.num_mel_bins))
-        params = model.init(key, img, ids, jnp.ones((1, 8), jnp.int32), fb)["params"]
+        params = jax.jit(model.init)(
+            key, img, ids, jnp.ones((1, 8), jnp.int32), fb)["params"]
     return model, params
 
 

@@ -32,6 +32,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad3(t, seq_pad: int, d_pad: int):
+    """(b, h, s, d) -> (b*h, seq_pad, d_pad); the reshape is free when no
+    padding is needed."""
+    b, h, s, d = t.shape
+    if seq_pad != s or d_pad != d:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, seq_pad - s), (0, d_pad - d)))
+    return t.reshape(b * h, seq_pad, d_pad)
+
+
 def _head_dim_pad(d: int) -> int:
     """Padded head dim. d=64 (every tower here) is NOT padded: Mosaic handles
     half-lane-width tiles natively, and an explicit pad to 128 both
@@ -70,6 +79,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_len: int,
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
 
+    if num_kb == 1:
+        # whole-sequence specialization: with a single kv block the online
+        # softmax degenerates to a plain softmax (identical math — first-iter
+        # alpha is exp(-inf)=0), and the straight-line form drops the loop
+        # carry/rescale machinery: 2.83 -> 2.30 ms at 852 tokens b35 h12 on
+        # v5e (the fwd is VPU-bound; see docs/BENCHMARKS.md)
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if kv_len < kv_pad:  # mask pass only when the block carries padding
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+        lse = (m + jnp.log(l_safe))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+        return
+
     def body(kb, carry):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(kb * block_k, block_k), :]
@@ -105,15 +138,20 @@ def _flash_forward(q, k, v, block_q: int = None, block_k: int = None):
     auto_bq, auto_bk, auto_kvp = _block_policy(sq, kv_len)
     block_q = block_q or auto_bq
     block_k = block_k or auto_bk
-    sq_pad = _round_up(sq, block_q)
-    kv_pad = _round_up(kv_len, block_k)
     d_pad = _head_dim_pad(d)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-    qp = qp.reshape(b * h, sq_pad, d_pad)
-    kp = kp.reshape(b * h, kv_pad, d_pad)
-    vp = vp.reshape(b * h, kv_pad, d_pad)
+    if block_q >= sq and block_k >= kv_len and d_pad == d:
+        # whole-sequence blocks: hand Mosaic the UNPADDED arrays (it masks
+        # partial tiles itself). The explicit jnp.pad round-trip copied
+        # ~370 MB/call through HBM at 852 tokens b35 h12 — 0.45 ms of the
+        # 2.75 ms call (docs/BENCHMARKS.md).
+        block_q, block_k = sq, kv_len
+        sq_pad, kv_pad = sq, kv_len
+    else:
+        sq_pad = _round_up(sq, block_q)
+        kv_pad = _round_up(kv_len, block_k)
+    qp = _pad3(q, sq_pad, d_pad)
+    kp = _pad3(k, kv_pad, d_pad)
+    vp = _pad3(v, kv_pad, d_pad)
 
     grid = (b * h, sq_pad // block_q)
     kernel = functools.partial(_fwd_kernel, kv_len=kv_len, block_k=block_k,
@@ -168,9 +206,10 @@ def _bwd_onepass_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0][:, None]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where((col < kv_len) & (row < q_len), s, NEG_INF)
+    if q_len < q.shape[0] or kv_len < k.shape[0]:  # only if blocks are padded
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where((col < kv_len) & (row < q_len), s, NEG_INF)
     p = jnp.exp(s - lse)
     dv = jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -260,15 +299,18 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = None,
     auto_bq, auto_bk, _ = _block_policy(sq, kv_len)
     block_q = block_q or auto_bq
     block_k = block_k or auto_bk
-    sq_pad = _round_up(sq, block_q)
+    d_pad = _head_dim_pad(d)
+    if block_q >= sq and block_k >= kv_len and d_pad == d:
+        # mirror the forward's unpadded whole-sequence policy
+        block_q, block_k = sq, kv_len
+        sq_pad, kv_pad = sq, kv_len
+    else:
+        sq_pad = _round_up(sq, block_q)
+        kv_pad = _round_up(kv_len, block_k)
     assert sq_pad == lse.shape[-1], (
         f"bwd block_q must match fwd padding: {sq_pad} vs {lse.shape[-1]}")
-    kv_pad = _round_up(kv_len, block_k)
-    d_pad = _head_dim_pad(d)
-    pad_q = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sq_pad - sq),
-                                  (0, d_pad - d))).reshape(b * h, sq_pad, d_pad)
-    pad_k = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, kv_pad - kv_len),
-                                  (0, d_pad - d))).reshape(b * h, kv_pad, d_pad)
+    pad_q = lambda t: _pad3(t, sq_pad, d_pad)
+    pad_k = lambda t: _pad3(t, kv_pad, d_pad)
     qp, dop = pad_q(q), pad_q(g)
     op = pad_q(out)
     kp, vp = pad_k(k), pad_k(v)

@@ -121,6 +121,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded over 'data'.
+
+    Single-process: a plain ``device_put``. Multi-process (a pod, or the
+    2-process CPU harness in tests/test_distributed.py): each process holds
+    only its LOCAL slice of the global batch — the reference's
+    DistributedSampler semantics (reference main_pretraining.py:124-128) —
+    and the slices are assembled into one global jax.Array whose data axis
+    spans every process's devices."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

@@ -68,7 +68,7 @@ class EmbeddingEngine:
             self.loaded_from = f"{ckpt_dir}/{tag}"
         except (FileNotFoundError, OSError):
             cfg = self.cfg
-            self.params = self.model.init(
+            self.params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 3, cfg.vision.image_size, cfg.vision.image_size)),
                 jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),

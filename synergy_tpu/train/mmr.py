@@ -162,7 +162,7 @@ def main(argv=None):
         print(f"[mmr] loaded stage-1 towers from {args.ckpt_dir}/{tag}")
     except (FileNotFoundError, OSError):
         print("[mmr] WARNING: no stage-1 checkpoint found; random towers")
-        tri_params = tri.init(
+        tri_params = jax.jit(tri.init)(
             key, batch["pixel_values"], batch["input_ids"],
             batch["attention_mask"], batch["input_values"])["params"]
 
@@ -171,7 +171,7 @@ def main(argv=None):
 
     wrapper = build_wrapper(recon_cfg, args.MM, dtype)
     init_rngs = {"params": key, "dropout": jax.random.fold_in(key, 1)}
-    variables = wrapper.init(init_rngs, *feats)
+    variables = jax.jit(wrapper.init)(init_rngs, *feats)
     w_params = variables["params"]
     w_stats = variables.get("batch_stats", {})
 

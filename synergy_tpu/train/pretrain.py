@@ -39,7 +39,7 @@ from synergy_tpu.parallel.distributed import (
     is_primary, maybe_initialize_distributed,
 )
 from synergy_tpu.parallel.mesh import (
-    batch_sharding, create_mesh, opt_state_shardings, param_shardings,
+    create_mesh, opt_state_shardings, param_shardings, shard_batch,
 )
 from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.train.state import (
@@ -140,11 +140,16 @@ def main(argv=None):
 
     tokenizer = get_tokenizer(args.vocab_dir)
     train_ds, valid_ds = build_datasets(args)
-    train_loader = TriModalLoader(train_ds, tokenizer, batch,
-                                  args.seq_max_length, seed=args.SEED)
-    valid_loader = TriModalLoader(valid_ds, tokenizer, batch,
+    # each process loads only its slice of the global batch (multi-process
+    # pods; single-process: shard=(0,1) and local batch == global batch)
+    n_proc = jax.process_count()
+    shard = (jax.process_index(), n_proc)
+    train_loader = TriModalLoader(train_ds, tokenizer, batch // n_proc,
+                                  args.seq_max_length, seed=args.SEED,
+                                  shard=shard)
+    valid_loader = TriModalLoader(valid_ds, tokenizer, batch // n_proc,
                                   args.seq_max_length, shuffle=False,
-                                  seed=args.SEED)
+                                  seed=args.SEED, shard=shard)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = TriCLIP(clip_cfg, dtype=dtype, scan_layers=args.scan_layers)
@@ -180,10 +185,10 @@ def main(argv=None):
                          donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, train_cfg, num_groups,
                                        preprocess=True))
-    b_shard = batch_sharding(mesh)
-
     def put(batch_np: Dict[str, np.ndarray]):
-        return {k: jax.device_put(v, b_shard) for k, v in batch_np.items()}
+        # single-process: device_put; multi-process pod: assembles each
+        # process's local slice into one global array (mesh.shard_batch)
+        return shard_batch(mesh, batch_np)
 
     min_loss = float("inf")
     aug_key = jax.random.PRNGKey(args.SEED + 1234)

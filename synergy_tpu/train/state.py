@@ -47,7 +47,9 @@ def create_train_state(rng: jax.Array, model: TriCLIP, train_cfg: TrainConfig,
                        sample_batch: Dict[str, jnp.ndarray],
                        params: Optional[Any] = None) -> TrainState:
     if params is None:
-        params = model.init(
+        # jit: eager (op-by-op) Flax init takes minutes at Base scale; one
+        # compiled program also lands in the persistent compilation cache
+        params = jax.jit(model.init)(
             rng, sample_batch["pixel_values"], sample_batch["input_ids"],
             sample_batch["attention_mask"], sample_batch["input_values"],
         )["params"]

@@ -30,8 +30,17 @@ if os.environ.get("SYNERGY_TEST_TPU", "0") != "1":
     # platform default (TPU trains in bf16 by design).
     jax.config.update("jax_default_matmul_precision", "float32")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+from synergy_tpu.utils import enable_compilation_cache  # noqa: E402
+
+# Repeat test runs are dominated by XLA compiles of the same programs;
+# the persistent cache turns those into disk hits. Threshold lowered from
+# the library default (10 s) because test programs are small but numerous.
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 @pytest.fixture

@@ -62,7 +62,7 @@ def test_mesh_and_partition_specs(tiny_setup):
     assert all(s == P(None, "model") for s in proj) and proj
     # scan-stacked layer params get a leading None prepended
     scan_model = TriCLIP(CLIPConfig.tiny(), scan_layers=True)
-    scan_params = scan_model.init(
+    scan_params = jax.jit(scan_model.init)(
         jax.random.PRNGKey(0), batch["pixel_values"], batch["input_ids"],
         batch["attention_mask"], batch["input_values"])["params"]
     sspecs = param_partition_specs(scan_params)

@@ -23,7 +23,7 @@ def tiny_model():
     ids = jnp.ones((2, 8), jnp.int32)
     mask = jnp.ones((2, 8), jnp.int32)
     fbank = jnp.zeros((2, cfg.audio.max_length, cfg.audio.num_mel_bins))
-    params = model.init(key, pixel, ids, mask, fbank)["params"]
+    params = jax.jit(model.init)(key, pixel, ids, mask, fbank)["params"]
     return cfg, model, params
 
 
