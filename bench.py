@@ -41,6 +41,7 @@ def main():
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", choices=["train", "infer", "preprocess"],
                    default="train")
+    p.add_argument("--size", choices=["base", "large"], default="base")
     args = p.parse_args()
 
     from synergy_tpu.configs import CLIPConfig, TrainConfig
@@ -87,8 +88,12 @@ def main():
             "vs_baseline": round(per_chip / 5000.0, 4),
         }))
         return
-    cfg = CLIPConfig.base() if on_tpu else CLIPConfig.tiny()
-    batch = args.batch or ((35 if on_tpu else 8) * n_dev)
+    if args.size == "large":
+        cfg = CLIPConfig.large()
+        batch = args.batch or ((14 if on_tpu else 2) * n_dev)  # ref per-replica
+    else:
+        cfg = CLIPConfig.base() if on_tpu else CLIPConfig.tiny()
+        batch = args.batch or ((35 if on_tpu else 8) * n_dev)
 
     model = TriCLIP(cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     rng = np.random.default_rng(0)

@@ -72,18 +72,53 @@ def load_logit_scales(ckpt_dir: str, tag: str) -> Dict[str, np.ndarray]:
     return _read(os.path.join(ckpt_dir, tag, "export", "logit_scales.msgpack"))
 
 
-def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None):
-    """Full train state via Orbax (also exports the towers)."""
+_async_ckptr = None
+_async_export_thread = None
+
+
+def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
+               async_save: bool = False):
+    """Full train state via Orbax (also exports the towers).
+
+    ``async_save=True`` returns as soon as the device->host copy is done:
+    the Orbax commit and the per-modality msgpack export proceed in the
+    background so the train loop is not stalled by disk I/O (the reference
+    blocks training for the full torch.save, main_pretraining.py:222-227).
+    Call :func:`wait_for_saves` before process exit / reading the files.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, tag, "state"))
-    ckptr = ocp.StandardCheckpointer()
     target = {"params": state.params, "opt_state": state.opt_state,
               "step": state.step}
-    ckptr.save(os.path.join(path, str(step if step is not None else int(state.step))),
-               target, force=True)
+    dest = os.path.join(path, str(step if step is not None else int(state.step)))
+    if async_save:
+        global _async_ckptr, _async_export_thread
+        if _async_ckptr is None:
+            _async_ckptr = ocp.StandardCheckpointer()
+        wait_for_saves()  # one in-flight save at a time (overwrite safety)
+        _async_ckptr.save(dest, target, force=True)
+        host_params = jax.device_get(state.params)  # sync D2H, async disk
+
+        import threading
+
+        _async_export_thread = threading.Thread(
+            target=export_towers, args=(ckpt_dir, tag, host_params),
+            daemon=True)
+        _async_export_thread.start()
+        return
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(dest, target, force=True)
     ckptr.wait_until_finished()
     export_towers(ckpt_dir, tag, state.params)
+
+
+def wait_for_saves():
+    """Barrier for outstanding async saves (no-op when none are pending)."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    if _async_export_thread is not None and _async_export_thread.is_alive():
+        _async_export_thread.join()
 
 
 def latest_step(ckpt_dir: str, tag: str) -> Optional[int]:

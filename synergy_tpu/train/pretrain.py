@@ -233,11 +233,14 @@ def main(argv=None):
                 print(f"[pretrain]   val_loss={val_loss:.4f}")
                 if val_loss < min_loss and is_primary():
                     min_loss = val_loss
-                    ckpt.save_state(args.ckpt_dir, tag, state)
+                    # async: training resumes while Orbax commits + the
+                    # tower export writes in the background
+                    ckpt.save_state(args.ckpt_dir, tag, state, async_save=True)
                     print(f"[pretrain]   saved checkpoint -> {args.ckpt_dir}/{tag}")
             if (args.checkpoint_every and is_primary()
                     and (epoch + 1) % args.checkpoint_every == 0):
-                ckpt.save_state(args.ckpt_dir, tag + "_periodic", state)
+                ckpt.save_state(args.ckpt_dir, tag + "_periodic", state,
+                                async_save=True)
             if args.log_file and is_primary():
                 import json as _json
 
@@ -247,6 +250,8 @@ def main(argv=None):
                     rec["val_loss"] = val_loss
                 with open(args.log_file, "a") as f:
                     f.write(_json.dumps(rec) + "\n")
+
+        ckpt.wait_for_saves()  # barrier: files complete before downstream use
 
         # final test loop (reference main_pretraining.py:231-260)
         if args.synthetic or not os.path.exists(args.test_csv):

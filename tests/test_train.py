@@ -155,6 +155,24 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     assert float(rebuilt["logit_scale_IT"]) == pytest.approx(2.6592)
 
 
+def test_checkpoint_async_roundtrip(tmp_path, tiny_setup):
+    """async_save returns before the files are committed; wait_for_saves is
+    the barrier after which the full contract (state + export) is on disk."""
+    cfg, tcfg, model, batch, state = tiny_setup
+    tag = ckpt.size_tag(True, False)
+    ckpt.save_state(str(tmp_path), tag, state, async_save=True)
+    ckpt.wait_for_saves()
+    for m in ("vision", "text", "audio"):
+        _, head = ckpt.load_tower(str(tmp_path), tag, m)
+        assert "kernel" in head
+    blank = create_train_state(jax.random.PRNGKey(1), model, tcfg, batch)
+    restored = ckpt.restore_state(str(tmp_path), tag, blank)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, restored.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
 @pytest.mark.slow
 def test_pretrain_cli_synthetic(tmp_path):
     """Drive the real CLI main() end-to-end on the CPU mesh."""
