@@ -67,18 +67,32 @@ class CSVTriModalDataset:
         self.is_captioned = is_captioned
         self.augment_audio = augment_audio
         self.apply_rate = apply_rate
-        self.rng = np.random.default_rng(seed)
-        self.pyrng = pyrandom.Random(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __len__(self) -> int:
         return len(self.df)
 
-    def _text_for(self, row) -> str:
+    def _rngs(self, idx: int):
+        """Per-sample rngs keyed on (seed, epoch, idx): __getitem__ runs on a
+        thread pool (TriModalLoader), so shared generators would interleave in
+        scheduler order — per-sample derivation makes identical-seed runs
+        bit-identical regardless of thread timing (the reference gets the
+        analogous property from per-worker torch seeding, utils.py:45-51)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, idx]))
+        pyrng = pyrandom.Random(f"{self.seed}:{self.epoch}:{idx}")
+        return rng, pyrng
+
+    def _text_for(self, row, pyrng: pyrandom.Random) -> str:
         if self.is_captioned:
             return str(row.caption)
         labels = str(row.label).split(",")
-        word = self.pyrng.choice(labels).strip()
-        template = self.pyrng.choice(TEMPLATES)
+        word = pyrng.choice(labels).strip()
+        template = pyrng.choice(TEMPLATES)
         return template.format(word)
 
     def __getitem__(self, idx: int) -> TriModalSample:
@@ -86,6 +100,7 @@ class CSVTriModalDataset:
 
         from synergy_tpu.data import audio as A
 
+        rng, pyrng = self._rngs(idx)
         row = self.df.iloc[idx]
         img = Image.open(row.img_path).convert("RGB")
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
@@ -103,14 +118,15 @@ class CSVTriModalDataset:
             if sr != A.SAMPLE_RATE:
                 wave = A.resample(wave, sr, A.SAMPLE_RATE)
         if self.augment_audio:
-            wave = A.audio_augment(wave, apply_rate=self.apply_rate, rng=self.rng)
+            wave = A.audio_augment(wave, apply_rate=self.apply_rate, rng=rng)
         wave = np.asarray(wave, np.float32)
         if len(wave) < WAVE_SAMPLES:
             wave = np.pad(wave, (0, WAVE_SAMPLES - len(wave)))
         else:
             wave = wave[:WAVE_SAMPLES]
 
-        return TriModalSample(image=image, wave=wave, text=self._text_for(row))
+        return TriModalSample(image=image, wave=wave,
+                              text=self._text_for(row, pyrng))
 
 
 class SyntheticTriModalDataset:
@@ -171,11 +187,19 @@ class TriModalLoader:
         # (process_index, process_count): every process shuffles the full
         # index list with the shared seed, then takes a strided slice — the
         # reference's DistributedSampler semantics (main_pretraining.py:124-128)
+        if shard[1] > 1 and not drop_last:
+            # The strided slice gives processes ceil-vs-floor item counts and
+            # __len__ floors; uneven batch counts would desync shard_batch
+            # across processes (DistributedSampler instead pads — we require
+            # drop_last, which every multi-process CLI already uses).
+            raise ValueError("shard[1] > 1 requires drop_last=True")
         self.shard = shard
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
 
     def __len__(self) -> int:
         local = len(self.ds) // self.shard[1]

@@ -112,27 +112,68 @@ class ByteLevelBPETokenizer:
         engine = self._native if self._native is not None else self._py
         return engine.encode_text(text)
 
-    def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
-        """``<s> tokens </s>`` with truncation to max_length (no padding)."""
+    @staticmethod
+    def _truncate_longest_first(
+        ids_a: List[int], ids_b: List[int], budget: int
+    ) -> "tuple[List[int], List[int]]":
+        """HF LongestFirst truncation: drop one token at a time from the end of
+        the longer sequence; ties drop from the second sequence (matches both
+        transformers' slow ``truncate_sequences`` and the Rust tokenizer)."""
+        budget = max(budget, 0)
+        total = len(ids_a) + len(ids_b)
+        if total <= budget:
+            return ids_a, ids_b
+        ids_a, ids_b = list(ids_a), list(ids_b)
+        for _ in range(total - budget):
+            if len(ids_a) > len(ids_b):
+                ids_a.pop()
+            else:
+                ids_b.pop()
+        return ids_a, ids_b
+
+    def encode(
+        self,
+        text: str,
+        text_pair: Optional[str] = None,
+        max_length: Optional[int] = None,
+    ) -> List[int]:
+        """``<s> A </s>`` or, with ``text_pair``, RoBERTa's pair layout
+        ``<s> A </s></s> B </s>`` with real special-token ids and HF
+        longest-first truncation (reference DT/FT_text_task.py:113-240 feeds
+        GLUE sentence pairs through ``tokenizer(a, b, truncation=True, ...)``)."""
         ids = self.encode_raw(text)
+        if text_pair is None:
+            if max_length is not None:
+                ids = ids[: max_length - 2]
+            return [self.bos_token_id] + ids + [self.eos_token_id]
+        ids_b = self.encode_raw(text_pair)
         if max_length is not None:
-            ids = ids[: max_length - 2]
-        return [self.bos_token_id] + ids + [self.eos_token_id]
+            ids, ids_b = self._truncate_longest_first(ids, ids_b, max_length - 4)
+        return ([self.bos_token_id] + ids + [self.eos_token_id, self.eos_token_id]
+                + ids_b + [self.eos_token_id])
 
     def __call__(
         self,
         texts: Union[str, Sequence[str]],
+        text_pair: Union[str, Sequence[str], None] = None,
         max_length: int = 32,
         padding: str = "max_length",
         truncation: bool = True,
     ) -> Dict[str, np.ndarray]:
         """Batch-encode to fixed (len(texts), max_length) int32 arrays, matching
-        HF's ``padding='max_length', truncation=True`` semantics."""
+        HF's ``padding='max_length', truncation=True`` semantics. ``text_pair``
+        (parallel to ``texts``) selects the two-sequence GLUE layout."""
         if isinstance(texts, str):
             texts = [texts]
+        if isinstance(text_pair, str):
+            text_pair = [text_pair]
+        if text_pair is not None and len(text_pair) != len(texts):
+            raise ValueError("text_pair must be parallel to texts")
         batch = []
-        for t in texts:
-            ids = self.encode(t, max_length=max_length if truncation else None)
+        for i, t in enumerate(texts):
+            ids = self.encode(
+                t, text_pair=text_pair[i] if text_pair is not None else None,
+                max_length=max_length if truncation else None)
             batch.append(ids)
         if padding == "max_length":
             width = max_length

@@ -50,6 +50,14 @@ GLUE_TASKS: Dict[str, Tuple[Tuple[str, ...], int]] = {
     "wnli": (("sentence1", "sentence2"), 2),
 }
 
+# Reference per-task max_length (DT/FT_text_task.py:113-240: MNLI-M/MM and
+# QNLI use 128+32=160; QQP/MRPC/STS-B/RTE/WNLI 128; SST-2 96; CoLA 64).
+TASK_MAX_LENGTH: Dict[str, int] = {
+    "mnli": 160, "mnlim": 160, "mnlimm": 160, "qnli": 160,
+    "qqp": 128, "mrpc": 128, "stsb": 128, "rte": 128, "wnli": 128,
+    "sst2": 96, "cola": 64,
+}
+
 
 def f1_score(preds: np.ndarray, labels: np.ndarray) -> float:
     tp = float(((preds == 1) & (labels == 1)).sum())
@@ -79,7 +87,10 @@ def pearson_spearman(preds: np.ndarray, labels: np.ndarray) -> Tuple[float, floa
 
 
 def load_glue(task: str, seed: int):
-    """(train_texts, train_labels, test_texts, test_labels, synthetic)."""
+    """Returns (train, test, synthetic) where each split is
+    ``(texts, pair_texts_or_None, labels)``. Sentence pairs stay separate so
+    the tokenizer can apply the reference's HF two-sequence encoding
+    ``<s> A </s></s> B </s>`` (DT/FT_text_task.py:113-240), not joined text."""
     keys, _ = GLUE_TASKS[task]
     try:
         from datasets import load_dataset
@@ -94,14 +105,12 @@ def load_glue(task: str, seed: int):
             val_key = "validation"
 
         def pack(split):
-            texts = [" </s></s> ".join(str(row[k]) for k in keys)
-                     for row in split]
+            texts = [str(x) for x in split[keys[0]]]
+            pairs = [str(x) for x in split[keys[1]]] if len(keys) > 1 else None
             labels = np.asarray(split["label"])
-            return texts, labels
+            return texts, pairs, labels
 
-        tr_t, tr_l = pack(ds["train"])
-        te_t, te_l = pack(ds[val_key])
-        return tr_t, tr_l, te_t, te_l, False
+        return pack(ds["train"]), pack(ds[val_key]), False
     except Exception:
         rng = np.random.default_rng(seed)
         pos = ["great wonderful amazing", "delightful and moving",
@@ -112,9 +121,14 @@ def load_glue(task: str, seed: int):
         labels = rng.integers(0, 2, n)
         texts = [f"{'this is ' + (pos[i % 4] if l else neg[i % 4])} sample {i}"
                  for i, l in enumerate(labels)]
+        pairs = ([f"the review was {'positive' if l else 'negative'}"
+                  for l in labels] if len(keys) > 1 else None)
         if GLUE_TASKS[task][1] == 1:  # regression surrogate
             labels = labels.astype(np.float32) * 5.0
-        return texts[: n // 2], labels[: n // 2], texts[n // 2:], labels[n // 2:], True
+        half = n // 2
+        cut = lambda xs, lo, hi: xs[lo:hi] if xs is not None else None
+        return ((texts[:half], cut(pairs, 0, half), labels[:half]),
+                (texts[half:], cut(pairs, half, n), labels[half:]), True)
 
 
 def parse_args(argv=None):
@@ -127,7 +141,10 @@ def parse_args(argv=None):
     p.add_argument("--EPOCHS", type=int, default=3)
     p.add_argument("--LR", type=float, default=2e-5)
     p.add_argument("--BATCH_SIZE", type=int, default=16)
-    p.add_argument("--seq_max_length", type=int, default=128)
+    p.add_argument("--seq_max_length", type=int, default=None,
+                   help="override the reference per-task max_length "
+                        "(MNLI/QNLI 160, QQP/MRPC/STS-B/RTE/WNLI 128, "
+                        "SST-2 96, CoLA 64)")
     p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
     p.add_argument("--vocab_dir", type=str, default=None)
     p.add_argument("--metric_path", type=str,
@@ -146,13 +163,15 @@ def main(argv=None):
     cfg = CLIPConfig.tiny() if args.tiny else (
         CLIPConfig.base() if args.IS_BASE else CLIPConfig.large())
 
-    tr_t, tr_l, te_t, te_l, synthetic = load_glue(task, args.SEED)
+    (tr_t, tr_p, tr_l), (te_t, te_p, te_l), synthetic = load_glue(task, args.SEED)
     if args.max_train:
         tr_t, tr_l = tr_t[: args.max_train], tr_l[: args.max_train]
+        tr_p = tr_p[: args.max_train] if tr_p is not None else None
     tokenizer = get_tokenizer(args.vocab_dir)
-    seq = min(args.seq_max_length, cfg.text.max_position_embeddings - 2)
-    tr = tokenizer(tr_t, max_length=seq)
-    te = tokenizer(te_t, max_length=seq)
+    task_len = args.seq_max_length or TASK_MAX_LENGTH[task]
+    seq = min(task_len, cfg.text.max_position_embeddings - 2)
+    tr = tokenizer(tr_t, text_pair=tr_p, max_length=seq)
+    te = tokenizer(te_t, text_pair=te_p, max_length=seq)
 
     is_regression = num_labels == 1
     model = TextClassifier(cfg.text, num_labels)

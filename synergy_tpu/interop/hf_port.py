@@ -223,3 +223,71 @@ def load_reference_checkpoint(tar_path: str) -> Dict[str, Any]:
     blob = torch.load(tar_path, map_location="cpu", weights_only=True)
     sd = blob.get("model_state_dict", blob)
     return port_tri_clip(sd)
+
+
+def load_hf_tower_dir(path: str, modality: str, scan_layers: bool = False):
+    """Load one tower from an HF ``save_pretrained`` directory — the
+    reference's own per-modality artifact (main_pretraining.py:39-59 writes
+    ``CLIP_{image,text,audio}_model_{size}/{des}/`` via save_pretrained with a
+    sibling ``projection_head.tar``), or any local snapshot of the stock
+    checkpoints (openai/clip-vit-*, FacebookAI/roberta-*, MIT/ast-*).
+
+    Returns ``(flax_tower_params, projection_params_or_None)``.
+    """
+    import os
+
+    if modality == "vision":
+        from transformers import CLIPVisionModel
+
+        hf = CLIPVisionModel.from_pretrained(path)
+        tower = port_vision(hf, scan_layers)
+    elif modality == "text":
+        from transformers import AutoModel
+
+        hf = AutoModel.from_pretrained(path)
+        tower = port_text(hf, scan_layers)
+    elif modality == "audio":
+        from transformers import ASTModel
+
+        hf = ASTModel.from_pretrained(path)
+        tower = port_audio(hf, scan_layers)
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
+
+    proj = None
+    proj_path = os.path.join(path, "projection_head.tar")
+    if os.path.exists(proj_path):
+        import torch
+
+        blob = torch.load(proj_path, map_location="cpu", weights_only=True)
+        sd = blob.get("model_state_dict", blob)
+        proj = {"kernel": _np(sd["weight"]).T}  # bias-free (model.py:76-78)
+    return tower, proj
+
+
+def port_tri_clip_from_dirs(
+    vision_dir: str, text_dir: str, audio_dir: str,
+    scan_layers: bool = False, logit_scale_init: float = 2.6592,
+) -> Dict[str, Any]:
+    """Assemble full TriCLIP params from three per-tower HF directories.
+
+    Every directory must carry the reference's ``projection_head.tar``
+    (stock HF checkpoints have no tri-modal projection — pretrain from those
+    instead of porting). Logit scales are not part of the per-tower artifact;
+    they start at the config init 2.6592 (reference config.py:112).
+    """
+    params: Dict[str, Any] = {}
+    for modality, d in (("vision", vision_dir), ("text", text_dir),
+                        ("audio", audio_dir)):
+        tower, proj = load_hf_tower_dir(d, modality, scan_layers)
+        if proj is None:
+            raise FileNotFoundError(
+                f"{d}/projection_head.tar not found — the per-tower export "
+                "contract (reference main_pretraining.py:44-59) includes the "
+                "projection head; stock HF checkpoints have none (run "
+                "pretraining instead)")
+        params[modality] = tower
+        params[f"{modality}_projection"] = proj
+    for name in ("logit_scale_IT", "logit_scale_TA", "logit_scale_AI"):
+        params[name] = np.asarray(logit_scale_init, np.float32)
+    return params

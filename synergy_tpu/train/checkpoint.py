@@ -16,6 +16,7 @@ DT/FT_audio_task.py:133-138, DT/FT_text_task.py:645-651). We reproduce both:
 
 from __future__ import annotations
 
+import atexit
 import os
 from typing import Any, Dict, Optional
 
@@ -33,10 +34,14 @@ def size_tag(is_base: bool, is_captioned: bool) -> str:
 
 
 def _write(path: str, tree: Any):
+    # temp file + os.replace: a crash mid-write (the async export runs on a
+    # daemon thread) can never leave a truncated msgpack at the final path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tree = jax.tree_util.tree_map(np.asarray, tree)
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def _read(path: str, target: Any = None) -> Any:
@@ -76,15 +81,33 @@ _async_ckptr = None
 _async_export_thread = None
 
 
+def _host_params(params):
+    """Bring params to host for the msgpack export. Multi-process: params may
+    be sharded over the model axis, so every process joins a collective
+    gather (all processes must call this together); DP-replicated arrays
+    pass through at no cost."""
+    if jax.process_count() == 1:
+        return jax.device_get(params)
+    from jax.experimental import multihost_utils
+
+    return jax.device_get(multihost_utils.process_allgather(params))
+
+
 def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
                async_save: bool = False):
     """Full train state via Orbax (also exports the towers).
+
+    Multi-process pods: the Orbax save is a collective with cross-process
+    barriers — call this from ALL processes (gate only the logging on
+    ``is_primary()``); Orbax coordinates per-replica writes and only the
+    export files are written by process 0.
 
     ``async_save=True`` returns as soon as the device->host copy is done:
     the Orbax commit and the per-modality msgpack export proceed in the
     background so the train loop is not stalled by disk I/O (the reference
     blocks training for the full torch.save, main_pretraining.py:222-227).
-    Call :func:`wait_for_saves` before process exit / reading the files.
+    Call :func:`wait_for_saves` before process exit / reading the files
+    (also registered via atexit as a crash-exit backstop).
     """
     import orbax.checkpoint as ocp
 
@@ -96,21 +119,25 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
         global _async_ckptr, _async_export_thread
         if _async_ckptr is None:
             _async_ckptr = ocp.StandardCheckpointer()
+            atexit.register(wait_for_saves)
         wait_for_saves()  # one in-flight save at a time (overwrite safety)
         _async_ckptr.save(dest, target, force=True)
-        host_params = jax.device_get(state.params)  # sync D2H, async disk
+        host_params = _host_params(state.params)  # sync D2H, async disk
 
-        import threading
+        if jax.process_index() == 0:
+            import threading
 
-        _async_export_thread = threading.Thread(
-            target=export_towers, args=(ckpt_dir, tag, host_params),
-            daemon=True)
-        _async_export_thread.start()
+            _async_export_thread = threading.Thread(
+                target=export_towers, args=(ckpt_dir, tag, host_params),
+                daemon=True)
+            _async_export_thread.start()
         return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(dest, target, force=True)
     ckptr.wait_until_finished()
-    export_towers(ckpt_dir, tag, state.params)
+    host_params = _host_params(state.params)
+    if jax.process_index() == 0:
+        export_towers(ckpt_dir, tag, host_params)
 
 
 def wait_for_saves():

@@ -7,7 +7,9 @@ reference's training regime: batch 32 (main_MMR.py:52), AdamW lr 1e-3, and —
 deliberately — **single fixed-batch overfitting** (the reference hoists
 ``next(iter(train_loader))`` above the epoch loop, main_MMR.py:122-144, for
 its per-category reconstruction demos). ``--single_batch false`` enables a
-conventional multi-batch loop as an upgrade.
+conventional multi-batch loop: every epoch iterates fresh batches and the
+frozen-tower features are recomputed per batch (jitted), still without
+gradients through the towers.
 
 TPU-first structural changes:
   * frozen towers run ONCE (features are constant across the overfit loop —
@@ -55,7 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--MM", type=str, default="img", choices=["img", "txt", "aud"])
     p.add_argument("--IDX", type=int, default=0)
     p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--seq_max_length", type=int, default=32)
+    p.add_argument("--seq_max_length", type=int, default=None,
+                   help="tokenization length; defaults to the decoder's "
+                        "text_length (reference config.py:138 keeps them equal)")
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=1.0)
@@ -114,29 +118,34 @@ def build_wrapper(recon_cfg: ReconstructionConfig, mm: str, dtype):
     return ImgAud2Txt(recon_cfg, dtype, deterministic=False)  # BN in train mode
 
 
-def make_batch(args, recon_cfg, tokenizer):
-    """One fixed batch, Step23-style (reference Dataset_Step23 filters VGGSound
-    categories by CATE_IDX; synthetic mode reuses its label structure)."""
-    clip = recon_cfg.clip
+def make_loader(args, recon_cfg, tokenizer, seq_len: int):
+    """Step23-style loader (reference Dataset_Step23 filters VGGSound
+    categories by CATE_IDX; synthetic mode reuses its label structure). In
+    single-batch mode the dataset holds exactly one batch; in multi-batch
+    mode it holds several and drop_last keeps shapes static."""
     if args.synthetic or not os.path.exists(args.train_csv):
-        ds = SyntheticTriModalDataset(args.batch_size, args.IS_CAPTIONED,
-                                      seed=args.SEED)
+        size = args.batch_size if args.single_batch else args.batch_size * 4
+        ds = SyntheticTriModalDataset(size, args.IS_CAPTIONED, seed=args.SEED)
     else:
         cate = CATE_IDX[args.IDX] if os.path.exists("vgg_category.json") else None
         ds = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
                                 augment_audio=False, seed=args.SEED,
                                 category_idx=cate)
-    # the text decoder reconstructs exactly text_length tokens
-    # (reference config.py:138: text_length == seq_max_length)
-    loader = TriModalLoader(ds, tokenizer, args.batch_size,
-                            recon_cfg.text_length, seed=args.SEED,
-                            drop_last=False)
-    raw = next(iter(loader))
+    return TriModalLoader(ds, tokenizer, args.batch_size, seq_len,
+                          seed=args.SEED, drop_last=not args.single_batch)
+
+
+def make_preprocessor(clip_cfg):
+    """Jitted host-batch -> model-batch preprocessing (image chain + fbank).
+    One compiled program per batch shape: eager dispatch here costs seconds
+    per step through a remote-TPU tunnel (op-by-op round trips)."""
     from synergy_tpu.train.state import device_preprocess
 
-    batch = device_preprocess(
-        {k: jnp.asarray(v) for k, v in raw.items()}, None, clip)
-    return batch
+    @jax.jit
+    def prep(raw):
+        return device_preprocess(raw, None, clip_cfg)
+
+    return lambda raw: prep({k: jnp.asarray(v) for k, v in raw.items()})
 
 
 def main(argv=None):
@@ -154,9 +163,18 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     tokenizer = get_tokenizer(args.vocab_dir)
+    # the text decoder reconstructs exactly text_length tokens
+    # (reference config.py:138: text_length == seq_max_length)
+    seq_len = args.seq_max_length or recon_cfg.text_length
+    if args.MM == "txt" and seq_len != recon_cfg.text_length:
+        raise ValueError(
+            f"--seq_max_length {seq_len} must equal the text decoder's "
+            f"text_length {recon_cfg.text_length} when --MM txt")
     tri = TriCLIP(clip_cfg, dtype=dtype)
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
-    batch = make_batch(args, recon_cfg, tokenizer)
+    loader = make_loader(args, recon_cfg, tokenizer, seq_len)
+    prep = make_preprocessor(clip_cfg)
+    batch = prep(next(iter(loader)))
     try:
         tri_params = ckpt.load_tri_clip_params(args.ckpt_dir, tag)
         print(f"[mmr] loaded stage-1 towers from {args.ckpt_dir}/{tag}")
@@ -166,8 +184,8 @@ def main(argv=None):
             key, batch["pixel_values"], batch["input_ids"],
             batch["attention_mask"], batch["input_values"])["params"]
 
-    feats = jax.jit(
-        lambda p, b: frozen_tower_features(tri, p, b, args.MM))(tri_params, batch)
+    feats_fn = jax.jit(lambda p, b: frozen_tower_features(tri, p, b, args.MM))
+    feats = feats_fn(tri_params, batch)
 
     wrapper = build_wrapper(recon_cfg, args.MM, dtype)
     init_rngs = {"params": key, "dropout": jax.random.fold_in(key, 1)}
@@ -178,22 +196,21 @@ def main(argv=None):
     tx = optax.adamw(args.learning_rate)
     opt_state = tx.init(w_params)
 
-    if args.MM == "img":
-        label = batch["pixel_values"]
-        loss_fn_mm = lambda recon: mmr_image_loss(recon, label, alpha=0.75)
-    elif args.MM == "aud":
-        label = batch["input_values"]
-        loss_fn_mm = lambda recon: mmr_audio_loss(recon, label, alpha=0.75)
-    else:
-        label = batch["input_ids"]
-        loss_fn_mm = lambda recon: mmr_text_loss(recon, label)
+    label_key = {"img": "pixel_values", "aud": "input_values",
+                 "txt": "input_ids"}[args.MM]
+    loss_fn_mm = {
+        "img": lambda recon, lab: mmr_image_loss(recon, lab, alpha=0.75),
+        "aud": lambda recon, lab: mmr_audio_loss(recon, lab, alpha=0.75),
+        "txt": mmr_text_loss,
+    }[args.MM]
+    label = batch[label_key]
 
-    def step(params, stats, opt_state, feats, dropout_key):
+    def step(params, stats, opt_state, feats, label, dropout_key):
         def inner(p):
             out, updates = wrapper.apply(
                 {"params": p, "batch_stats": stats}, *feats,
                 mutable=["batch_stats"], rngs={"dropout": dropout_key})
-            loss, m1, m2 = loss_fn_mm(out)
+            loss, m1, m2 = loss_fn_mm(out, label)
             return loss * hyper, (m1, m2, updates.get("batch_stats", stats))
 
         (loss, (m1, m2, new_stats)), grads = jax.value_and_grad(
@@ -203,14 +220,7 @@ def main(argv=None):
 
     step = jax.jit(step)
 
-    t0 = time.time()
-    t_first = None
-    for e in range(args.epochs):
-        w_params, w_stats, opt_state, loss, m1, m2 = step(
-            w_params, w_stats, opt_state, feats, jax.random.fold_in(key, 100 + e))
-        if e == 0:
-            jax.block_until_ready(loss)
-            t_first = time.time() - t0
+    def log_epoch(e, loss, m1, m2):
         if (e + 1) % max(1, args.epochs // 10) == 0:
             if args.MM == "txt":
                 print(f"[mmr] epoch {e + 1}/{args.epochs} "
@@ -219,10 +229,38 @@ def main(argv=None):
                 print(f"[mmr] epoch {e + 1}/{args.epochs} "
                       f"loss={float(loss):.4f} MSE={float(m1):.4f} "
                       f"SSIM={1 - float(m2):.4f}")
+
+    t0 = time.time()
+    t_first = None
+    n_steps = 0
+    for e in range(args.epochs):
+        if args.single_batch:
+            # reference regime (main_MMR.py:122-144): same batch every epoch,
+            # frozen features computed once before the loop
+            w_params, w_stats, opt_state, loss, m1, m2 = step(
+                w_params, w_stats, opt_state, feats, label,
+                jax.random.fold_in(key, 100 + e))
+            n_steps += 1
+        else:
+            # conventional loop: fresh batches, frozen features recomputed
+            # per batch (jitted) — the towers still see no gradients
+            loader.set_epoch(e)
+            for i, raw in enumerate(loader):
+                b = prep(raw)
+                feats = feats_fn(tri_params, b)
+                label = b[label_key]
+                w_params, w_stats, opt_state, loss, m1, m2 = step(
+                    w_params, w_stats, opt_state, feats, label,
+                    jax.random.fold_in(key, 100 + e * 10007 + i))
+                n_steps += 1
+        if e == 0:
+            jax.block_until_ready(loss)
+            t_first = time.time() - t0
+        log_epoch(e, loss, m1, m2)
     total = time.time() - t0
-    steady = (total - t_first) / max(1, args.epochs - 1)
-    print(f"[mmr] trained {args.epochs} epochs in {total:.1f}s "
-          f"(compile+first step {t_first:.1f}s, then {steady * 1e3:.0f} ms/step)")
+    steady = (total - t_first) / max(1, n_steps - 1)
+    print(f"[mmr] trained {args.epochs} epochs ({n_steps} steps) in {total:.1f}s "
+          f"(compile+first epoch {t_first:.1f}s, then {steady * 1e3:.0f} ms/step)")
 
     # save wrapper (MRL contract, main_MMR.py:30-37)
     out_base = os.path.join(args.out_dir, f"{model_sz}_{text_des}", args.MM)

@@ -143,6 +143,10 @@ def main(argv=None):
     # each process loads only its slice of the global batch (multi-process
     # pods; single-process: shard=(0,1) and local batch == global batch)
     n_proc = jax.process_count()
+    if batch % n_proc:
+        raise ValueError(
+            f"global batch {batch} must divide evenly over "
+            f"{n_proc} processes (each feeds batch/n_proc rows)")
     shard = (jax.process_index(), n_proc)
     train_loader = TriModalLoader(train_ds, tokenizer, batch // n_proc,
                                   args.seq_max_length, seed=args.SEED,
@@ -231,14 +235,18 @@ def main(argv=None):
             if val_metrics:
                 val_loss = float(np.mean([np.asarray(m["loss"]) for m in val_metrics]))
                 print(f"[pretrain]   val_loss={val_loss:.4f}")
-                if val_loss < min_loss and is_primary():
+                if val_loss < min_loss:
+                    # all processes save (Orbax multihost save is a collective
+                    # with cross-process barriers; val_loss is a global metric
+                    # so the condition agrees on every process); async:
+                    # training resumes while Orbax commits + the tower export
+                    # writes in the background
                     min_loss = val_loss
-                    # async: training resumes while Orbax commits + the
-                    # tower export writes in the background
                     ckpt.save_state(args.ckpt_dir, tag, state, async_save=True)
-                    print(f"[pretrain]   saved checkpoint -> {args.ckpt_dir}/{tag}")
-            if (args.checkpoint_every and is_primary()
-                    and (epoch + 1) % args.checkpoint_every == 0):
+                    if is_primary():
+                        print(f"[pretrain]   saved checkpoint -> "
+                              f"{args.ckpt_dir}/{tag}")
+            if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
                 ckpt.save_state(args.ckpt_dir, tag + "_periodic", state,
                                 async_save=True)
             if args.log_file and is_primary():
@@ -261,9 +269,13 @@ def main(argv=None):
         else:
             test_ds = CSVTriModalDataset(args.test_csv, args.IS_CAPTIONED,
                                          augment_audio=False, seed=args.SEED + 2)
-        test_loader = TriModalLoader(test_ds, tokenizer, batch,
+        # sharded like train/valid: each process feeds its batch/n_proc slice
+        # (an unsharded loader would make shard_batch assemble an n_proc-times
+        # duplicated global batch on pods — duplicate rows are false negatives
+        # for the contrastive eval)
+        test_loader = TriModalLoader(test_ds, tokenizer, batch // n_proc,
                                      args.seq_max_length, shuffle=False,
-                                     seed=args.SEED)
+                                     seed=args.SEED, shard=shard)
         test_metrics = []
         for t_idx, batch_np in enumerate(iter(test_loader)):
             if args.steps_per_epoch and t_idx >= max(1, args.steps_per_epoch // 4):

@@ -81,8 +81,23 @@ with mesh:
     sharded = shard_batch(mesh, local_batch)
     assert all(v.shape[0] == 8 for v in sharded.values())  # global view
     step = jax.jit(make_train_step(model, tcfg))
-    _, metrics = step(state, sharded)
+    new_state, metrics = step(state, sharded)
 print("LOSS", float(metrics["loss"]), flush=True)
+
+# 3) eval pass over the sharded test-loader pattern (each process feeds its
+# batch/n_proc slice; pretrain.py's final test loop uses exactly this shape)
+from synergy_tpu.train.state import make_eval_step
+with mesh:
+    ev = jax.jit(make_eval_step(model, tcfg))
+    eval_metrics = ev(new_state.params, sharded)
+print("EVAL", float(eval_metrics["loss"]), flush=True)
+
+# 4) checkpoint from ALL processes: Orbax multihost save is a collective;
+# process 0 additionally writes the per-tower export
+from synergy_tpu.train import checkpoint as ckpt
+with mesh:
+    ckpt.save_state({ckpt_dir!r}, "base_prompt", new_state)
+print("SAVED", flush=True)
 """
 
 
@@ -97,7 +112,8 @@ def _free_port():
 @pytest.mark.slow
 def test_two_process_collectives_and_train_step(tmp_path):
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER.format(repo=REPO))
+    ckpt_dir = str(tmp_path / "ck")
+    worker.write_text(_WORKER.format(repo=REPO, ckpt_dir=ckpt_dir))
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -107,7 +123,7 @@ def test_two_process_collectives_and_train_step(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, str(worker)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
 
@@ -115,6 +131,10 @@ def test_two_process_collectives_and_train_step(tmp_path):
                     .split()[1]) for out in outs]
     # both processes observe the same replicated global loss
     assert abs(losses[0] - losses[1]) < 1e-6
+    evals = [float(next(l for l in out.splitlines() if l.startswith("EVAL"))
+                   .split()[1]) for out in outs]
+    assert abs(evals[0] - evals[1]) < 1e-6
+    assert all("SAVED" in out for out in outs)
 
     # and it matches a single-process run over the same global batch (the
     # pytest process has 8 virtual devices; use 4 to mirror the mesh)
@@ -141,7 +161,28 @@ def test_two_process_collectives_and_train_step(tmp_path):
         jax.random.PRNGKey(0), model, tcfg,
         {k: jnp.asarray(v) for k, v in gb.items()})
     mesh = create_mesh((4, 1), devices=jax.devices()[:4])
+    from synergy_tpu.train.state import make_eval_step
+
     with mesh:
-        _, metrics = jax.jit(make_train_step(model, tcfg))(
+        sp_state, metrics = jax.jit(make_train_step(model, tcfg))(
             state, shard_batch(mesh, gb))
+        sp_eval = jax.jit(make_eval_step(model, tcfg))(
+            sp_state.params, shard_batch(mesh, gb))
     assert abs(losses[0] - float(metrics["loss"])) < 1e-4
+    # the 2-process post-step eval loss matches the single-process run
+    assert abs(evals[0] - float(sp_eval["loss"])) < 1e-4
+
+    # the collective save produced a loadable export + Orbax state (written
+    # once, by process 0)
+    from synergy_tpu.train import checkpoint as ckpt
+
+    ckpt_dir = str(tmp_path / "ck")
+    tri_params = ckpt.load_tri_clip_params(ckpt_dir, "base_prompt")
+    assert "vision" in tri_params and "logit_scale_IT" in tri_params
+    assert ckpt.latest_step(ckpt_dir, "base_prompt") is not None
+    restored = ckpt.restore_state(ckpt_dir, "base_prompt", sp_state)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32)
+                                           - jnp.asarray(b, jnp.float32)))),
+        jax.device_get(restored.params), jax.device_get(sp_state.params))
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6

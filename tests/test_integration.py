@@ -109,21 +109,15 @@ def test_checkpoint_chains_into_zs_and_ft(tmp_path):
     assert "accuracy" in m2
 
 
-@pytest.mark.slow
-def test_pretrain_cli_on_real_files(tmp_path):
-    """Dress rehearsal for the VGGSound path: a realistic CSV of JPEG/WAV
-    files on disk driven through train/pretrain.py main() with NO synthetic
-    fallback — decode, device preprocessing, train/val loops, checkpoint."""
-    import json as jsonmod
+def _make_vgg_fixture(d):
+    """Realistic on-disk VGGSound-style fixture: 24 JPEG/WAV rows split into
+    train/valid CSVs. Returns (train_csv, valid_csv)."""
     import wave as wavmod
 
     import pandas as pd
     from PIL import Image
 
-    from synergy_tpu.train.pretrain import build_datasets, main
-
-    d = tmp_path / "vgg"
-    d.mkdir()
+    d.mkdir(exist_ok=True)
     rng = np.random.default_rng(7)
     labels = ["dog barking", "rain", "fireworks", "playing violin"]
     rows = []
@@ -146,6 +140,19 @@ def test_pretrain_cli_on_real_files(tmp_path):
                  ).to_csv(train_csv, index=False)
     pd.DataFrame(rows[16:], columns=["img_path", "wav_path", "label", "caption"]
                  ).to_csv(valid_csv, index=False)
+    return train_csv, valid_csv
+
+
+@pytest.mark.slow
+def test_pretrain_cli_on_real_files(tmp_path):
+    """Dress rehearsal for the VGGSound path: a realistic CSV of JPEG/WAV
+    files on disk driven through train/pretrain.py main() with NO synthetic
+    fallback — decode, device preprocessing, train/val loops, checkpoint."""
+    import json as jsonmod
+
+    from synergy_tpu.train.pretrain import build_datasets, main
+
+    train_csv, valid_csv = _make_vgg_fixture(tmp_path / "vgg")
 
     argv = ["--tiny", "true", "--synthetic", "false",
             "--train_csv", train_csv, "--valid_csv", valid_csv,
@@ -169,3 +176,24 @@ def test_pretrain_cli_on_real_files(tmp_path):
                  for l in open(tmp_path / "log.jsonl").read().splitlines()]
     assert any("loss" in rec for rec in log_lines)
     assert all(np.isfinite(rec["loss"]) for rec in log_lines if "loss" in rec)
+
+
+@pytest.mark.slow
+def test_real_csv_training_is_deterministic(tmp_path):
+    """Two identical-seed runs over the REAL-files CSV pipeline must produce
+    bit-identical parameters: CSVTriModalDataset derives per-sample rngs from
+    (seed, epoch, idx), so the loader's thread-pool scheduling order cannot
+    leak into augmentation or template draws (the synthetic dataset was
+    already immune; this pins the real path)."""
+    from synergy_tpu.train.pretrain import main as pre_main
+
+    train_csv, valid_csv = _make_vgg_fixture(tmp_path / "vgg")
+    argv = ["--tiny", "true", "--synthetic", "false",
+            "--train_csv", train_csv, "--valid_csv", valid_csv,
+            "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+            "--accum_steps", "1", "--dtype", "float32", "--SEED", "7"]
+    s1 = pre_main(argv + ["--ckpt_dir", str(tmp_path / "a")])
+    s2 = pre_main(argv + ["--ckpt_dir", str(tmp_path / "b")])
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0

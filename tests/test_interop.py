@@ -120,6 +120,72 @@ def test_tri_clip_checkpoint_roundtrip_and_parity(tmp_path, torch_tri_clip,
     assert np.abs(np.asarray(sim) - ref_sim.numpy()).max() <= 5e-4
 
 
+@pytest.mark.slow
+def test_hf_dir_port_roundtrip_and_parity(tmp_path, torch_tri_clip, jax_cfg,
+                                          rng):
+    """Port path (b): per-tower HF ``save_pretrained`` directories — the
+    reference's own per-modality artifact (main_pretraining.py:39-59:
+    save_pretrained + sibling projection_head.tar per tower). Round trip:
+    save -> port_cli --hf_*_dir -> load_tri_clip_params -> <=1e-4 features."""
+    from synergy_tpu.interop.port_cli import main as port_main
+    from synergy_tpu.train.checkpoint import load_tri_clip_params
+
+    m = torch_tri_clip
+    dirs = {}
+    for modal, tower, proj in [
+        ("image", m.vision_model, m.vision_projection),
+        ("text", m.text_model, m.text_projection),
+        ("audio", m.audio_model, m.audio_projection),
+    ]:
+        d = str(tmp_path / f"CLIP_{modal}_model_base" / "prompt")
+        tower.save_pretrained(d)
+        torch.save({"model_state_dict": proj.state_dict()},
+                   str(tmp_path / f"CLIP_{modal}_model_base" / "prompt"
+                       / "projection_head.tar"))
+        dirs[modal] = d
+
+    ck = str(tmp_path / "ck")
+    port_main(["--hf_vision_dir", dirs["image"], "--hf_text_dir", dirs["text"],
+               "--hf_audio_dir", dirs["audio"], "--ckpt_dir", ck])
+    params = load_tri_clip_params(ck, "base_prompt")
+    assert float(np.asarray(params["logit_scale_IT"])) == pytest.approx(2.6592)
+
+    model = TriCLIP(jax_cfg)
+    pixel = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ids = rng.integers(4, 512, (2, 8)).astype(np.int64)
+    ids[:, 0] = 0
+    mask = np.ones_like(ids)
+    fbank = rng.standard_normal((2, 64, 64)).astype(np.float32)
+    ref_img, ref_txt, ref_aud = _reference_forward(
+        m, torch.from_numpy(pixel), torch.from_numpy(ids),
+        torch.from_numpy(mask), torch.from_numpy(fbank))
+    out = model.apply({"params": params}, jnp.asarray(pixel),
+                      jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(fbank))
+    for ours, ref, what in [
+        (out["image_embeds"], ref_img, "image"),
+        (out["text_embeds"], ref_txt, "text"),
+        (out["audio_embeds"], ref_aud, "audio"),
+    ]:
+        err = np.abs(np.asarray(ours) - ref.numpy()).max()
+        assert err <= TOL, f"{what}: {err}"
+
+
+def test_hf_dir_port_requires_projection(tmp_path, torch_tri_clip):
+    """Stock HF checkpoints carry no tri-modal projection head; the port must
+    fail loudly, not silently produce an incomplete export."""
+    from synergy_tpu.interop.hf_port import port_tri_clip_from_dirs
+
+    m = torch_tri_clip
+    dirs = {}
+    for modal, tower in [("image", m.vision_model), ("text", m.text_model),
+                         ("audio", m.audio_model)]:
+        d = str(tmp_path / modal)
+        tower.save_pretrained(d)  # no projection_head.tar
+        dirs[modal] = d
+    with pytest.raises(FileNotFoundError, match="projection_head"):
+        port_tri_clip_from_dirs(dirs["image"], dirs["text"], dirs["audio"])
+
+
 def test_port_cli_feeds_downstream(tmp_path, torch_tri_clip):
     """The migration CLI writes an export that eval entry points load."""
     from synergy_tpu.interop.port_cli import main as port_main

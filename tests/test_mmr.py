@@ -136,3 +136,27 @@ def test_mmr_cli_tiny(tmp_path, mm):
     assert w is not None
     out_dir = tmp_path / "inf" / "base_caption" / mm
     assert any(out_dir.iterdir())
+
+
+@pytest.mark.slow
+def test_mmr_cli_multi_batch(tmp_path, capsys):
+    """``--single_batch false`` runs a conventional multi-batch loop: the
+    synthetic dataset holds 4 batches, frozen features are recomputed per
+    batch, and the loss decreases across epochs."""
+    import re
+
+    from synergy_tpu.train.mmr import main
+
+    w = main([
+        "--tiny", "true", "--synthetic", "true", "--MM", "img",
+        "--single_batch", "false", "--epochs", "2", "--batch_size", "4",
+        "--deploy_samples", "1", "--learning_rate", "1e-2",
+        "--ckpt_dir", str(tmp_path / "none"), "--out_dir", str(tmp_path / "inf"),
+    ])
+    assert w is not None
+    out = capsys.readouterr().out
+    m = re.search(r"trained 2 epochs \((\d+) steps\)", out)
+    assert m, out
+    assert int(m.group(1)) == 8  # 2 epochs x 4 batches
+    losses = [float(x) for x in re.findall(r"loss=([0-9.]+)", out)]
+    assert len(losses) == 2 and losses[-1] < losses[0], losses

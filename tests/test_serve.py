@@ -41,6 +41,23 @@ def test_engine_bucketing_consistency(engine, rng):
     np.testing.assert_allclose(three[0], one[0], atol=1e-5)
 
 
+def test_recompiles_bounded_by_buckets():
+    """Arbitrary request sizes must compile at most one program per
+    power-of-two bucket — the recompile bound the serving docs promise
+    (docs/BENCHMARKS.md serving section)."""
+    import jax.numpy as jnp
+
+    eng = EmbeddingEngine(ckpt_dir="/nonexistent-ck", tiny=True,
+                          dtype=jnp.float32, max_batch=8)
+    sizes = [1, 2, 3, 5, 7, 8, 6, 4, 3, 1]
+    for n in sizes:
+        eng.embed_text([f"sample text {i}" for i in range(n)])
+    buckets = {1, 2, 4, 8}  # _bucket(n, 8) over sizes
+    n_compiled = eng._embed_text._cache_size()
+    assert n_compiled <= len(buckets), (
+        f"{n_compiled} compiled text programs for buckets {buckets}")
+
+
 @pytest.fixture(scope="module")
 def server(engine):
     srv = serve(engine, port=0)  # ephemeral port

@@ -102,6 +102,50 @@ def test_call_matches_hf_padding_truncation(ours, hf_tok):
             got["attention_mask"], np.array(ref["attention_mask"]))
 
 
+def test_pair_encode_matches_hf(ours, hf_tok):
+    """GLUE-style sentence pairs: ``<s> A </s></s> B </s>`` with real
+    special-token ids must match HF ``tokenizer(a, b)`` token-for-token
+    (reference DT/FT_text_task.py:113-240 encodes every pair task this way)."""
+    cases = _cases()
+    pairs = list(zip(cases, cases[1:] + cases[:1]))
+    for a, b in pairs:
+        expected = hf_tok.encode(a, b, add_special_tokens=True)
+        got = ours.encode(a, text_pair=b)
+        assert got == expected, f"pair mismatch on ({a!r}, {b!r})"
+
+
+def test_pair_call_matches_hf_padding_truncation(ours, hf_tok):
+    """Batched pair encoding with padding + longest-first truncation must
+    match HF at several max_lengths, including ones that force truncation
+    into one or both sequences."""
+    cases = _cases()[:20]
+    texts_a = cases
+    texts_b = cases[::-1]
+    for max_length in (10, 16, 32, 64):
+        ref = hf_tok(
+            texts_a, texts_b, max_length=max_length, padding="max_length",
+            truncation=True, return_attention_mask=True,
+        )
+        got = ours(texts_a, text_pair=texts_b, max_length=max_length)
+        np.testing.assert_array_equal(got["input_ids"], np.array(ref["input_ids"]))
+        np.testing.assert_array_equal(
+            got["attention_mask"], np.array(ref["attention_mask"]))
+
+
+def test_pair_truncation_boundary(ours, hf_tok):
+    """Truncation boundary sweep: for an asymmetric pair, every max_length
+    from just-above-special-tokens to just-past-full-length must agree with
+    HF's longest-first semantics exactly (ties removed from the second)."""
+    a = "a photo and sound of playing violin with numbers 123"
+    b = "church bells ringing in the rain near the sea waves and fireworks"
+    full = len(ours.encode_raw(a)) + len(ours.encode_raw(b)) + 4
+    for max_length in range(5, full + 2):
+        expected = hf_tok.encode(
+            a, b, add_special_tokens=True, truncation=True, max_length=max_length)
+        got = ours.encode(a, text_pair=b, max_length=max_length)
+        assert got == expected, f"max_length={max_length}"
+
+
 def test_decode_roundtrip(ours):
     for text in ["hello world", "don't stop", "unicode café 東京"]:
         ids = ours.encode(text)

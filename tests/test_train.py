@@ -231,3 +231,56 @@ def test_opt_state_sharding_mirrors_params(tiny_setup):
             assert all(ax is None for ax in leaf.sharding.spec), path
     # mu + nu + MultiSteps acc for each sharded param = 3 hits minimum
     assert moments >= 3 * len(sharded_params), (moments, len(sharded_params))
+
+
+@pytest.mark.slow
+@pytest.mark.parity
+def test_large_tp_step_on_virtual_mesh():
+    """BASELINE config #5's future: ONE Large-config (ViT-L/14 + RoBERTa-large
+    + AST) scan_layers train step on the 8-device CPU mesh with model=2,
+    proving the TP path compiles AND executes at real dims — opt-state
+    shardings mirror param shardings and the loss is finite. Heaviest test in
+    the suite (Large fwd+bwd on one CPU core); opt-in via -m parity."""
+    from synergy_tpu.parallel.mesh import opt_state_shardings, shard_batch
+
+    cfg = CLIPConfig.large()
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=1, learning_rate=1e-4)
+    model = TriCLIP(cfg, scan_layers=True)
+    rng = np.random.default_rng(0)
+    batch = _tiny_batch(cfg, batch=8, seq=32, rng=rng)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch)
+
+    mesh = create_mesh((4, 2))
+    p_sh = param_shardings(mesh, state.params)
+    o_sh = opt_state_shardings(mesh, state.opt_state, state.params)
+
+    # opt-state shardings mirror their param's spec (replicating Adam moments
+    # would multiply optimizer HBM by the TP degree exactly on Large)
+    p_specs = {}
+    for path, s in jax.tree_util.tree_leaves_with_path(p_sh):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        p_specs[key] = s.spec
+    sharded = {p for p, s in p_specs.items()
+               if any(ax is not None for ax in s)}
+    assert sharded, "Large + model=2 must shard params over the model axis"
+    mirrored = 0
+    for path, s in jax.tree_util.tree_leaves_with_path(o_sh):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        for p, spec in p_specs.items():
+            if key == p or key.endswith("/" + p):
+                assert s.spec == spec, (key, s.spec, spec)
+                if p in sharded:
+                    mirrored += 1
+                break
+    assert mirrored >= 2 * len(sharded)  # mu + nu at minimum
+
+    state = state.replace(params=jax.device_put(state.params, p_sh),
+                          opt_state=jax.device_put(state.opt_state, o_sh))
+    with mesh:
+        step = jax.jit(make_train_step(model, tcfg), donate_argnums=(0,))
+        new_state, metrics = step(state, shard_batch(mesh, batch))
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    assert int(new_state.step) == 1

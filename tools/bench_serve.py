@@ -1,0 +1,119 @@
+"""Serving throughput/latency benchmark for the embedding runtime.
+
+Measures, on the current backend (intended: one real TPU chip):
+  * engine-level sustained embeddings/s per modality at the max bucket
+    (batch 64 — the fused-MLP inference kernel is active there on TPU);
+  * HTTP /embed round-trip latency p50/p99 for single-item text requests
+    (the dominant serving pattern) through the stdlib server.
+
+Run from the repo root (PYTHONPATH must stay unset for the axon plugin):
+  python tools/bench_serve.py [--batch 64] [--iters 30] [--http_iters 100]
+
+Prints one JSON line per row plus a final markdown table for
+docs/BENCHMARKS.md.
+"""
+
+import argparse
+import http.client
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def bench_engine(engine, batch: int, iters: int):
+    """Sustained embeddings/s per modality at a fixed (bucketed) batch."""
+    rng = np.random.default_rng(0)
+    texts = [f"a photo and sound of sample {i} with some words" for i in
+             range(batch)]
+    images = (rng.random((batch, 224, 224, 3)) * 255).astype(np.uint8)
+    waves = (0.1 * rng.standard_normal((batch, 164080))).astype(np.float32)
+
+    rows = {}
+    for name, fn in [("text", lambda: engine.embed_text(texts)),
+                     ("image", lambda: engine.embed_image(images)),
+                     ("audio", lambda: engine.embed_audio(waves))]:
+        fn()  # compile
+        fn()  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        dt = time.perf_counter() - t0
+        assert out.shape[0] == batch
+        eps = iters * batch / dt
+        ms = dt / iters * 1e3
+        rows[name] = {"embeddings_per_sec": round(eps, 1),
+                      "batch_ms": round(ms, 2)}
+        print(json.dumps({"metric": f"serve_{name}_embeddings_per_sec",
+                          "value": round(eps, 1), "unit": "emb/s",
+                          "batch": batch}), flush=True)
+    return rows
+
+
+def bench_http(engine, iters: int, port: int = 8991):
+    """HTTP /embed p50/p99 for single-text requests via the real server."""
+    from synergy_tpu.serve import serve
+
+    server = serve(engine, port=port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    body = json.dumps({"modality": "text",
+                       "texts": ["a photo and sound of dog barking"]})
+    lat = []
+    try:
+        for i in range(iters + 5):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            t0 = time.perf_counter()
+            conn.request("POST", "/embed", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 200 and len(data["embeddings"]) == 1
+            if i >= 5:  # skip warmup/compile
+                lat.append(time.perf_counter() - t0)
+    finally:
+        server.shutdown()
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    p50 = float(np.percentile(lat_ms, 50))
+    p99 = float(np.percentile(lat_ms, 99))
+    print(json.dumps({"metric": "serve_http_text1_latency_ms",
+                      "p50": round(p50, 2), "p99": round(p99, 2)}), flush=True)
+    return {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--http_iters", type=int, default=100)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    from synergy_tpu.serve import EmbeddingEngine
+    from synergy_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    engine = EmbeddingEngine(tiny=args.tiny, max_batch=args.batch)
+    print(f"backend={jax.default_backend()} checkpoint={engine.loaded_from}",
+          flush=True)
+    rows = bench_engine(engine, args.batch, args.iters)
+    http_row = bench_http(engine, args.http_iters)
+
+    print("\n| modality | batch | batch ms | embeddings/s |")
+    print("|---|---|---|---|")
+    for name, r in rows.items():
+        print(f"| {name} | {args.batch} | {r['batch_ms']} | "
+              f"{r['embeddings_per_sec']} |")
+    print(f"\nHTTP /embed 1-text: p50 {http_row['p50_ms']} ms, "
+          f"p99 {http_row['p99_ms']} ms")
+
+
+if __name__ == "__main__":
+    main()
