@@ -77,15 +77,44 @@ class EmbeddingEngine:
             self.loaded_from = "random-init"
 
         m = self.model
-        self._embed_image = jax.jit(lambda p, x: l2_normalize(m.apply(
-            {"params": p}, x, method=TriCLIP.get_image_features
-        ).astype(jnp.float32)))
+        size = self.cfg.vision.image_size
+
+        # Preprocessing is FUSED into the jitted encoder call: one program per
+        # (bucketed) input shape, one host->device transfer of the raw
+        # uint8/waveform batch, one device->host transfer of the embeddings.
+        # (An earlier version ran resize/fbank op-by-op outside jit and
+        # round-tripped the preprocessed tensors through host numpy — on the
+        # axon tunnel that cost ~100x in dispatch + transfer latency.)
+        def _image_fwd(p, imgs_u8):
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            if imgs.shape[1] == size and imgs.shape[2] == size:
+                pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
+            elif imgs.shape[1] < size or imgs.shape[2] < size:
+                imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
+                pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
+            else:
+                pixel = jax.vmap(lambda im: eval_transform(im, size))(imgs)
+            return l2_normalize(m.apply(
+                {"params": p}, pixel, method=TriCLIP.get_image_features
+            ).astype(jnp.float32))
+
+        def _audio_fwd(p, waves):
+            if waves.dtype == jnp.int16:
+                # 16-bit PCM wire format: halves the host->device transfer
+                # (the serving bottleneck on thin links); scaled on device.
+                waves = waves.astype(jnp.float32) / 32767.0
+            fb = jax.vmap(log_mel_fbank)(waves)
+            fb = fb[:, : self.cfg.audio.max_length,
+                    : self.cfg.audio.num_mel_bins]
+            return l2_normalize(m.apply(
+                {"params": p}, fb, method=TriCLIP.get_audio_features
+            ).astype(jnp.float32))
+
+        self._embed_image = jax.jit(_image_fwd)
         self._embed_text = jax.jit(lambda p, i, a: l2_normalize(m.apply(
             {"params": p}, i, a, method=TriCLIP.get_text_features
         ).astype(jnp.float32)))
-        self._embed_audio = jax.jit(lambda p, x: l2_normalize(m.apply(
-            {"params": p}, x, method=TriCLIP.get_audio_features
-        ).astype(jnp.float32)))
+        self._embed_audio = jax.jit(_audio_fwd)
 
     def _pad(self, arr: np.ndarray):
         n = arr.shape[0]
@@ -103,28 +132,53 @@ class EmbeddingEngine:
         return np.asarray(out)[:n]
 
     def embed_image(self, images_uint8: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 -> (B, D); CLIP eval preprocessing on device."""
-        size = self.cfg.vision.image_size
-        imgs = jnp.asarray(images_uint8, jnp.float32) / 255.0
-        if imgs.shape[1] == size and imgs.shape[2] == size:
-            pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
-        elif imgs.shape[1] < size or imgs.shape[2] < size:
-            imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
-            pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
-        else:
-            pixel = jax.vmap(lambda im: eval_transform(im, size))(imgs)
-        pixel, n = self._pad(np.asarray(pixel))
-        out = self._embed_image(self.params, jnp.asarray(pixel))
+        """(B, H, W, 3) uint8 -> (B, D); preprocessing fused on device."""
+        imgs, n = self._pad(np.ascontiguousarray(images_uint8, dtype=np.uint8))
+        out = self._embed_image(self.params, jnp.asarray(imgs))
         return np.asarray(out)[:n]
 
     def embed_audio(self, waves: np.ndarray) -> np.ndarray:
-        """(B, N) float32 @16 kHz -> (B, D); fbank on device."""
-        cfg = self.cfg
-        fb = jax.vmap(lambda w: log_mel_fbank(w))(jnp.asarray(waves, jnp.float32))
-        fb = fb[:, : cfg.audio.max_length, : cfg.audio.num_mel_bins]
-        fb, n = self._pad(np.asarray(fb))
-        out = self._embed_audio(self.params, jnp.asarray(fb))
+        """(B, N) @16 kHz -> (B, D); fbank fused on device. float32 in
+        [-1, 1] or int16 PCM (preferred on thin links: half the transfer)."""
+        dtype = np.int16 if waves.dtype == np.int16 else np.float32
+        waves, n = self._pad(np.ascontiguousarray(waves, dtype=dtype))
+        out = self._embed_audio(self.params, jnp.asarray(waves))
         return np.asarray(out)[:n]
+
+    def _dispatch(self, modality: str, arr):
+        """Pad + transfer + dispatch WITHOUT blocking on the result."""
+        if modality == "text":
+            toks = self.tokenizer(arr, max_length=self.seq_max_length)
+            ids, n = self._pad(toks["input_ids"])
+            mask, _ = self._pad(toks["attention_mask"])
+            return self._embed_text(self.params, jnp.asarray(ids),
+                                    jnp.asarray(mask)), n
+        if modality == "image":
+            imgs, n = self._pad(np.ascontiguousarray(arr, dtype=np.uint8))
+            return self._embed_image(self.params, jnp.asarray(imgs)), n
+        if modality == "audio":
+            dtype = np.int16 if getattr(arr, "dtype", None) == np.int16 \
+                else np.float32
+            waves, n = self._pad(np.ascontiguousarray(arr, dtype=dtype))
+            return self._embed_audio(self.params, jnp.asarray(waves)), n
+        raise ValueError(f"unknown modality {modality!r}")
+
+    def embed_stream(self, modality: str, batches):
+        """Pipelined embedding over an iterable of host batches: batch i+1's
+        host->device transfer and dispatch overlap batch i's compute and
+        device->host readback (JAX dispatch is async; only the final
+        np.asarray blocks). This is the bulk-extraction API — on links where
+        transfer rivals compute it roughly doubles sustained throughput."""
+        prev = None
+        for arr in batches:
+            cur = self._dispatch(modality, arr)
+            if prev is not None:
+                out, n = prev
+                yield np.asarray(out)[:n]
+            prev = cur
+        if prev is not None:
+            out, n = prev
+            yield np.asarray(out)[:n]
 
     def similarity(self, a: np.ndarray, b: np.ndarray, pair: str = "IT"
                    ) -> np.ndarray:

@@ -82,15 +82,24 @@ _async_export_thread = None
 
 
 def _host_params(params):
-    """Bring params to host for the msgpack export. Multi-process: params may
-    be sharded over the model axis, so every process joins a collective
-    gather (all processes must call this together); DP-replicated arrays
-    pass through at no cost."""
-    if jax.process_count() == 1:
+    """Bring params to host for the msgpack export. Multi-process: a leaf may
+    be sharded across processes (model-axis TP, or GSPMD choosing a sharded
+    layout for a train-step output), making it non-fully-addressable; those
+    trees are resharded to fully-replicated with a jitted identity on their
+    own mesh — a collective, so ALL processes must call this together.
+    DP-replicated trees pass through at device_get cost only."""
+    try:
         return jax.device_get(params)
-    from jax.experimental import multihost_utils
+    except (RuntimeError, ValueError):
+        pass
+    from jax.sharding import NamedSharding, PartitionSpec
 
-    return jax.device_get(multihost_utils.process_allgather(params))
+    mesh = next(leaf.sharding.mesh
+                for leaf in jax.tree_util.tree_leaves(params)
+                if hasattr(leaf, "sharding") and not leaf.is_fully_addressable)
+    replicate = jax.jit(lambda t: t,
+                        out_shardings=NamedSharding(mesh, PartitionSpec()))
+    return jax.device_get(replicate(params))
 
 
 def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,

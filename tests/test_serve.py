@@ -41,6 +41,33 @@ def test_engine_bucketing_consistency(engine, rng):
     np.testing.assert_allclose(three[0], one[0], atol=1e-5)
 
 
+def test_audio_int16_wire_format_parity(engine, rng):
+    """int16 PCM input (half-transfer wire format) must match the float32
+    path up to quantization error. Elementwise tolerance is the wrong gauge:
+    log-mel amplifies the -90 dB quantization floor in low-energy bins (and
+    WAV sources are int16 at origin anyway) — assert embedding direction."""
+    waves = (0.3 * rng.standard_normal((2, 16000))).astype(np.float32)
+    i16 = (waves * 32767).astype(np.int16)
+    a = engine.embed_audio(waves)
+    b = engine.embed_audio(i16)
+    cos = np.sum(a * b, axis=1)  # both rows are l2-normalized
+    assert (cos > 0.995).all(), cos
+
+
+def test_embed_stream_matches_sequential(engine, rng):
+    """The pipelined bulk API must yield exactly the per-call results, in
+    order, across modalities and ragged batch sizes."""
+    batches = [(rng.random((n, 32, 32, 3)) * 255).astype(np.uint8)
+               for n in (3, 1, 5)]
+    streamed = list(engine.embed_stream("image", batches))
+    for got, arr in zip(streamed, batches):
+        np.testing.assert_allclose(got, engine.embed_image(arr), atol=1e-6)
+    txt_batches = [["dog", "cat"], ["a sound of rain"]]
+    streamed = list(engine.embed_stream("text", txt_batches))
+    for got, t in zip(streamed, txt_batches):
+        np.testing.assert_allclose(got, engine.embed_text(t), atol=1e-6)
+
+
 def test_recompiles_bounded_by_buckets():
     """Arbitrary request sizes must compile at most one program per
     power-of-two bucket — the recompile bound the serving docs promise
@@ -131,7 +158,7 @@ def test_zero_rows_embed_finite(engine):
     emb = engine.embed_image(np.zeros((3, size, size, 3), np.uint8))
     assert np.isfinite(emb).all()
     full = np.asarray(engine._embed_image(
-        engine.params, jnp.zeros((4, 3, size, size))))
+        engine.params, jnp.zeros((4, size, size, 3), jnp.uint8)))
     assert np.isfinite(full).all()
 
 

@@ -1,13 +1,20 @@
 #!/usr/bin/env bash
-# Two-lane test runner (single-CPU container; xdist doesn't help at nproc=1).
-#   tools/run_tests.sh quick   — default lane, excludes @slow (~2 min)
-#   tools/run_tests.sh full    — everything incl. Base-dim parity + long
-#                                integration runs (~20 min)
+# Three-lane test runner (single-CPU container; xdist doesn't help at nproc=1).
+# Wall-times measured round 3 on this box (1 core, warm XLA compile cache):
+#   tools/run_tests.sh quick   — excludes @slow/@parity   (~9 min warm)
+#   tools/run_tests.sh full    — everything except @parity (~40 min warm;
+#                                Base-dim parity, 2-process distributed,
+#                                real-file integration runs)
+#   tools/run_tests.sh parity  — opt-in heaviest lane: Large-dim steps on the
+#                                virtual CPU mesh (tens of minutes per test)
+# Plain `pytest tests/` equals the full lane (pytest.ini addopts excludes
+# @parity; an explicit -m on the CLI overrides it).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 lane="${1:-quick}"
 case "$lane" in
-  quick) exec python -m pytest tests/ -q -m "not slow" ;;
-  full)  exec python -m pytest tests/ -q ;;
-  *) echo "usage: $0 [quick|full]" >&2; exit 2 ;;
+  quick)  exec python -m pytest tests/ -q -m "not slow and not parity" ;;
+  full)   exec python -m pytest tests/ -q ;;
+  parity) exec python -m pytest tests/ -q -m parity ;;
+  *) echo "usage: $0 [quick|full|parity]" >&2; exit 2 ;;
 esac
