@@ -11,11 +11,16 @@ this module packages the stage-1 model for production embedding extraction:
   * a dependency-free HTTP JSON API (stdlib ``http.server``):
       POST /embed      {"modality": "text", "texts": [...]}
                        {"modality": "image", "image_b64": ..., "shape": [B,H,W,3]}
-                       {"modality": "audio", "audio_b64": ..., "shape": [B,N]}
+                       {"modality": "audio", "audio_b64": ..., "shape": [B,N],
+                        "dtype": "int16"|"float32"}
       POST /similarity {"texts": [...], plus one of image_b64/audio_b64 ...}
       GET  /healthz
     Binary payloads are base64-encoded little-endian arrays (uint8 for
-    images, float32 waveform at 16 kHz for audio).
+    images, float32 in [-1,1] or int16 PCM waveform at 16 kHz for audio —
+    int16 halves the wire+transfer bytes).
+  * ``MicroBatcher`` — optional dynamic micro-batching (``--batch_window_ms``,
+    default 2 ms): concurrent single-item /embed requests coalesce into one
+    bucketed device call, multiplying sustained throughput under load.
 
 CLI: ``python -m synergy_tpu.serve --ckpt_dir synergy_ckpt --port 8990``.
 """
@@ -25,7 +30,9 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -145,6 +152,24 @@ class EmbeddingEngine:
         out = self._embed_audio(self.params, jnp.asarray(waves))
         return np.asarray(out)[:n]
 
+    def warmup(self, modalities=("text",), image_size=None, wave_len=16000):
+        """Pre-compile every power-of-two batch bucket for the given
+        modalities so no request ever pays a compile. Serving best practice —
+        without it the first request at each new bucket stalls for the XLA
+        compile (tens of seconds on a cold TPU)."""
+        b = 1
+        while True:
+            if "text" in modalities:
+                self.embed_text(["warmup"] * b)
+            if "image" in modalities:
+                size = image_size or self.cfg.vision.image_size
+                self.embed_image(np.zeros((b, size, size, 3), np.uint8))
+            if "audio" in modalities:
+                self.embed_audio(np.zeros((b, wave_len), np.float32))
+            if b >= self.max_batch:
+                return
+            b *= 2
+
     def _dispatch(self, modality: str, arr):
         """Pad + transfer + dispatch WITHOUT blocking on the result."""
         if modality == "text":
@@ -186,6 +211,132 @@ class EmbeddingEngine:
         return (a @ b.T) * scale
 
 
+class MicroBatcher:
+    """Dynamic request batching for the serving runtime.
+
+    Coalesces concurrent embed requests of one modality into a single
+    bucketed engine call — the classic production pattern for single-item
+    request streams: one worker thread takes the first queued request, waits
+    up to ``window_ms`` for more, concatenates up to ``engine.max_batch``
+    rows, runs ONE jitted call, and fans the result rows back to the
+    waiting requests. Under concurrent load this multiplies throughput by
+    the achieved batch size for at most ``window_ms`` extra latency, and it
+    serializes device calls (handler threads never contend for the chip).
+    Requests only coalesce when compatible (same modality, same trailing
+    array shape and dtype); an incompatible arrival flushes the open group.
+    """
+
+    def __init__(self, engine: "EmbeddingEngine", window_ms: float = 2.0):
+        self.engine = engine
+        self.window = window_ms / 1e3
+        self.calls = 0          # engine calls issued (tests/observability)
+        self.rows = 0           # total rows embedded through the batcher
+        self._q: "queue.Queue" = queue.Queue()
+        # two-stage pipeline: the collector thread coalesces requests and
+        # DISPATCHES the device call without blocking on it (JAX dispatch is
+        # async); the completer thread materializes results and fans them
+        # out. Group i+1's window+transfer thus overlaps group i's compute —
+        # a blocking single-thread batcher serializes on every device round
+        # trip and loses to unbatched pipelined clients (measured).
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._c = threading.Thread(target=self._completer, daemon=True)
+        self._t.start()
+        self._c.start()
+
+    @staticmethod
+    def _key(modality: str, arr):
+        if modality == "text":
+            return ("text",)
+        return (modality, arr.shape[1:], np.asarray(arr).dtype.str)
+
+    def embed(self, modality: str, arr) -> np.ndarray:
+        """Blocking: enqueue one request (list of texts / batched array) and
+        wait for its slice of the coalesced result."""
+        done = threading.Event()
+        slot: Dict = {}
+        self._q.put((self._key(modality, arr), modality, arr, len(arr),
+                     done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def close(self):
+        self._q.put(None)
+        self._t.join(timeout=5)
+        self._c.join(timeout=5)
+
+    def _worker(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group, rows = [first], first[3]
+            key = first[0]
+            deadline = time.monotonic() + self.window
+            stop = False
+            while rows < self.engine.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    stop = True
+                    break
+                if item[0] != key or rows + item[3] > self.engine.max_batch:
+                    self._run(group)  # flush; start a fresh group
+                    group, rows = [item], item[3]
+                    key = item[0]
+                    deadline = time.monotonic() + self.window
+                else:
+                    group.append(item)
+                    rows += item[3]
+            self._run(group)
+            if stop:
+                self._done_q.put(None)
+                return
+
+    def _run(self, group):
+        """Coalesce + dispatch (async) and hand the in-flight result to the
+        completer. Only dispatch errors (bad shapes) are raised here."""
+        modality = group[0][1]
+        try:
+            if modality == "text":
+                arr = [t for (_, _, texts, _, _, _) in group for t in texts]
+            else:
+                arr = np.concatenate([g[2] for g in group])
+            out_dev, n = self.engine._dispatch(modality, arr)
+            self.calls += 1
+            self._done_q.put((group, out_dev, n))
+        except Exception as e:
+            for (_, _, _, _, done, slot) in group:
+                slot["err"] = e
+                done.set()
+
+    def _completer(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            group, out_dev, n = item
+            try:
+                out = np.asarray(out_dev)[:n]
+                off = 0
+                for (_, _, _, cnt, done, slot) in group:
+                    slot["out"] = out[off:off + cnt]
+                    self.rows += cnt
+                    off += cnt
+                    done.set()
+            except Exception as e:  # async device error; server stays up
+                for (_, _, _, _, done, slot) in group:
+                    slot["err"] = e
+                    done.set()
+
+
 def _decode_array(payload: Dict, key: str, dtype) -> np.ndarray:
     raw = base64.b64decode(payload[key])
     return np.frombuffer(raw, dtype=dtype).reshape(payload["shape"]).copy()
@@ -193,6 +344,7 @@ def _decode_array(payload: Dict, key: str, dtype) -> np.ndarray:
 
 class _Handler(BaseHTTPRequestHandler):
     engine: EmbeddingEngine = None  # set by serve()
+    batcher: Optional[MicroBatcher] = None  # set by serve(batch_window_ms>0)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -241,19 +393,34 @@ class _Handler(BaseHTTPRequestHandler):
     def _embed(self, payload: Dict) -> np.ndarray:
         modality = payload.get("modality")
         if modality == "text":
-            return self.engine.embed_text(payload["texts"])
+            arr = payload["texts"]
+        elif modality == "image":
+            arr = _decode_array(payload, "image_b64", np.uint8)
+        elif modality == "audio":
+            dtype = np.int16 if payload.get("dtype") == "int16" else np.float32
+            arr = _decode_array(payload, "audio_b64", dtype)
+        else:
+            raise ValueError(f"unknown modality {modality!r}")
+        if self.batcher is not None:
+            return self.batcher.embed(modality, arr)
+        if modality == "text":
+            return self.engine.embed_text(arr)
         if modality == "image":
-            return self.engine.embed_image(
-                _decode_array(payload, "image_b64", np.uint8))
-        if modality == "audio":
-            return self.engine.embed_audio(
-                _decode_array(payload, "audio_b64", np.float32))
-        raise ValueError(f"unknown modality {modality!r}")
+            return self.engine.embed_image(arr)
+        return self.engine.embed_audio(arr)
 
 
-def serve(engine: EmbeddingEngine, port: int = 8990, host: str = "127.0.0.1"):
-    handler = type("Handler", (_Handler,), {"engine": engine})
+def serve(engine: EmbeddingEngine, port: int = 8990, host: str = "127.0.0.1",
+          batch_window_ms: float = 0.0):
+    """``batch_window_ms > 0`` enables dynamic micro-batching of concurrent
+    /embed requests (MicroBatcher); 0 keeps per-request engine calls. The
+    batcher is exposed as ``server.batcher`` (shut down with server)."""
+    batcher = MicroBatcher(engine, batch_window_ms) if batch_window_ms > 0 \
+        else None
+    handler = type("Handler", (_Handler,),
+                   {"engine": engine, "batcher": batcher})
     server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher
     return server
 
 
@@ -266,13 +433,22 @@ def main(argv=None):
     p.add_argument("--vocab_dir", type=str, default=None)
     p.add_argument("--port", type=int, default=8990)
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--batch_window_ms", type=float, default=2.0,
+                   help="coalesce concurrent /embed requests for up to this "
+                        "long into one device call; 0 disables batching")
+    p.add_argument("--warmup", type=str, default="text",
+                   help="comma-separated modalities to pre-compile all batch "
+                        "buckets for at startup ('' skips)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     engine = EmbeddingEngine(args.ckpt_dir, args.IS_BASE, args.IS_CAPTIONED,
                              args.tiny, args.vocab_dir)
-    server = serve(engine, args.port, args.host)
+    if args.warmup:
+        engine.warmup(tuple(m for m in args.warmup.split(",") if m))
+    server = serve(engine, args.port, args.host, args.batch_window_ms)
     print(f"[serve] checkpoint={engine.loaded_from} "
-          f"listening on {args.host}:{args.port}")
+          f"listening on {args.host}:{args.port} "
+          f"batch_window={args.batch_window_ms}ms")
     server.serve_forever()
 
 

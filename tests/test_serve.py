@@ -68,6 +68,92 @@ def test_embed_stream_matches_sequential(engine, rng):
         np.testing.assert_allclose(got, engine.embed_text(t), atol=1e-6)
 
 
+def test_microbatcher_coalesces_and_matches(engine):
+    """Concurrent single-item requests through the MicroBatcher must (a)
+    return exactly the unbatched embeddings and (b) coalesce into fewer
+    device calls than requests (the whole point of the batcher)."""
+    from synergy_tpu.serve import MicroBatcher
+
+    texts = [f"probe text number {i}" for i in range(12)]
+    want = {t: engine.embed_text([t])[0] for t in texts}
+
+    b = MicroBatcher(engine, window_ms=150.0)
+    results = {}
+    lock = threading.Lock()
+
+    def worker(t):
+        out = b.embed("text", [t])
+        with lock:
+            results[t] = out[0]
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    assert b.rows == len(texts)
+    assert b.calls < len(texts), (
+        f"{b.calls} engine calls for {len(texts)} concurrent requests")
+    for t in texts:
+        np.testing.assert_allclose(results[t], want[t], atol=1e-5)
+
+
+def test_microbatcher_mixed_modalities_and_errors(engine, rng):
+    """Incompatible arrivals (different modality/shape) must flush cleanly,
+    and a failing request must error only its own group, not kill the
+    worker."""
+    from synergy_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(engine, window_ms=5.0)
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    txt = b.embed("text", ["dog barks"])
+    img = b.embed("image", imgs)
+    np.testing.assert_allclose(txt, engine.embed_text(["dog barks"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(img, engine.embed_image(imgs), atol=1e-6)
+    with pytest.raises(Exception):
+        b.embed("image", np.zeros((1, 8), np.uint8))  # not (B, H, W, 3)
+    # the worker must still be alive after the failure
+    txt2 = b.embed("text", ["still alive"])
+    np.testing.assert_allclose(txt2, engine.embed_text(["still alive"]),
+                               atol=1e-6)
+    b.close()
+
+
+def test_http_embed_batched_server(engine, rng):
+    """End-to-end: a server with batching enabled must serve concurrent
+    clients correctly (responses identical to the unbatched engine)."""
+    srv = serve(engine, port=0, batch_window_ms=50.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        texts = [f"client {i} says hi" for i in range(8)]
+        outs = {}
+        lock = threading.Lock()
+
+        def client(txt):
+            status, body = _post(srv.server_address, "/embed",
+                                 {"modality": "text", "texts": [txt]})
+            assert status == 200
+            with lock:
+                outs[txt] = np.asarray(body["embeddings"][0])
+
+        threads = [threading.Thread(target=client, args=(x,)) for x in texts]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for txt in texts:
+            np.testing.assert_allclose(outs[txt],
+                                       engine.embed_text([txt])[0], atol=1e-4)
+        assert srv.batcher.rows == len(texts)
+        assert srv.batcher.calls < len(texts)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_recompiles_bounded_by_buckets():
     """Arbitrary request sizes must compile at most one program per
     power-of-two bucket — the recompile bound the serving docs promise

@@ -96,11 +96,60 @@ def bench_http(engine, iters: int, port: int = 8991):
     return {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2)}
 
 
+def bench_http_concurrent(engine, n_clients: int, per_client: int,
+                          window_ms: float, port: int):
+    """Sustained single-text requests from n concurrent clients, batched
+    (window_ms > 0) vs unbatched — the MicroBatcher's payoff case."""
+    from synergy_tpu.serve import serve
+
+    server = serve(engine, port=port, batch_window_ms=window_ms)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    body = json.dumps({"modality": "text",
+                       "texts": ["a photo and sound of dog barking"]})
+
+    def client(idx):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        for _ in range(per_client):
+            conn.request("POST", "/embed", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        conn.close()
+
+    try:
+        engine.warmup(("text",))  # every bucket compiled BEFORE timing
+        client(0)
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+    finally:
+        server.shutdown()
+        if server.batcher is not None:
+            server.batcher.close()
+    rps = n_clients * per_client / dt
+    calls = server.batcher.calls if server.batcher else n_clients * per_client
+    print(json.dumps({"metric": "serve_http_concurrent_rps",
+                      "window_ms": window_ms, "clients": n_clients,
+                      "value": round(rps, 1), "engine_calls": calls,
+                      "requests": n_clients * per_client}), flush=True)
+    return rps
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--http_iters", type=int, default=100)
+    p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--per_client", type=int, default=25)
+    p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args()
 
@@ -115,6 +164,10 @@ def main():
           flush=True)
     rows = bench_engine(engine, args.batch, args.iters)
     http_row = bench_http(engine, args.http_iters)
+    rps_plain = bench_http_concurrent(engine, args.clients, args.per_client,
+                                      0.0, 8992)
+    rps_batched = bench_http_concurrent(engine, args.clients, args.per_client,
+                                        args.window_ms, 8993)
 
     print("\n| modality | batch | batch ms | embeddings/s | streamed |")
     print("|---|---|---|---|---|")
@@ -123,6 +176,9 @@ def main():
               f"{r['embeddings_per_sec']} | {r['streamed_per_sec']} |")
     print(f"\nHTTP /embed 1-text: p50 {http_row['p50_ms']} ms, "
           f"p99 {http_row['p99_ms']} ms")
+    print(f"HTTP /embed {args.clients} concurrent clients: "
+          f"{rps_plain:.1f} req/s unbatched -> {rps_batched:.1f} req/s "
+          f"batched (window {args.window_ms} ms)")
 
 
 if __name__ == "__main__":

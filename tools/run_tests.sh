@@ -2,7 +2,7 @@
 # Three-lane test runner (single-CPU container; xdist doesn't help at nproc=1).
 # Wall-times measured round 3 on this box (1 core, warm XLA compile cache):
 #   tools/run_tests.sh quick   — excludes @slow/@parity   (~9 min warm)
-#   tools/run_tests.sh full    — everything except @parity (~40 min warm;
+#   tools/run_tests.sh full    — everything except @parity (~30 min warm;
 #                                Base-dim parity, 2-process distributed,
 #                                real-file integration runs)
 #   tools/run_tests.sh parity  — opt-in heaviest lane: Large-dim steps on the
