@@ -51,8 +51,8 @@ from synergy_tpu.train import checkpoint as ckpt
 from synergy_tpu.utils import enable_compilation_cache, str2bool
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    b = 1
+def _bucket(n: int, max_batch: int, min_batch: int = 1) -> int:
+    b = min_batch
     while b < n:
         b *= 2
     return min(b, max_batch)
@@ -62,7 +62,8 @@ class EmbeddingEngine:
     def __init__(self, ckpt_dir: str = "synergy_ckpt", is_base: bool = True,
                  is_captioned: bool = False, tiny: bool = False,
                  vocab_dir: Optional[str] = None, max_batch: int = 64,
-                 dtype=jnp.bfloat16, seq_max_length: int = 32):
+                 dtype=jnp.bfloat16, seq_max_length: int = 32,
+                 mesh_data: int = 1, mesh_model: int = 1):
         self.cfg = (CLIPConfig.tiny() if tiny
                     else (CLIPConfig.base() if is_base else CLIPConfig.large()))
         self.model = TriCLIP(self.cfg, dtype=dtype)
@@ -82,6 +83,33 @@ class EmbeddingEngine:
                 jnp.zeros((1, cfg.audio.max_length, cfg.audio.num_mel_bins)),
             )["params"]
             self.loaded_from = "random-init"
+
+        # Sharded serving: weights over the 'model' axis (Megatron-style TP
+        # partition rules, same as training), request rows over 'data'.
+        # Serves Large configs across several small-HBM chips and scales
+        # throughput across a slice; single-device (1, 1) is unchanged.
+        jit_kwargs = {}
+        self.min_bucket = 1
+        if mesh_data * mesh_model > 1 or mesh_data == -1:
+            from synergy_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                                   param_shardings, replicated)
+
+            self.mesh = create_mesh((mesh_data, mesh_model))
+            p_shard = param_shardings(self.mesh, self.params)
+            self.params = jax.device_put(self.params, p_shard)
+            rows = self.mesh.shape["data"]
+            if rows & (rows - 1):
+                raise ValueError(f"data axis size {rows} must be a power of "
+                                 "two (batch buckets are powers of two)")
+            self.min_bucket = rows
+            if max_batch % rows:
+                raise ValueError(f"max_batch {max_batch} must divide over "
+                                 f"the data axis ({rows})")
+            self._batch_in = batch_sharding(self.mesh)
+            jit_kwargs = {"out_shardings": replicated(self.mesh)}
+        else:
+            self.mesh = None
+            self._batch_in = None
 
         m = self.model
         size = self.cfg.vision.image_size
@@ -117,15 +145,27 @@ class EmbeddingEngine:
                 {"params": p}, fb, method=TriCLIP.get_audio_features
             ).astype(jnp.float32))
 
-        self._embed_image = jax.jit(_image_fwd)
-        self._embed_text = jax.jit(lambda p, i, a: l2_normalize(m.apply(
+        _text_fwd = lambda p, i, a: l2_normalize(m.apply(
             {"params": p}, i, a, method=TriCLIP.get_text_features
-        ).astype(jnp.float32)))
-        self._embed_audio = jax.jit(_audio_fwd)
+        ).astype(jnp.float32))
+        if self.mesh is None:
+            self._embed_image = jax.jit(_image_fwd)
+            self._embed_text = jax.jit(_text_fwd)
+            self._embed_audio = jax.jit(_audio_fwd)
+        else:
+            # params keep their (TP) shardings, rows split over 'data',
+            # embeddings come back replicated (jit_kwargs)
+            b = self._batch_in
+            self._embed_image = jax.jit(_image_fwd, in_shardings=(p_shard, b),
+                                        **jit_kwargs)
+            self._embed_text = jax.jit(_text_fwd, in_shardings=(p_shard, b, b),
+                                      **jit_kwargs)
+            self._embed_audio = jax.jit(_audio_fwd, in_shardings=(p_shard, b),
+                                        **jit_kwargs)
 
     def _pad(self, arr: np.ndarray):
         n = arr.shape[0]
-        b = _bucket(n, self.max_batch)
+        b = _bucket(n, self.max_batch, self.min_bucket)
         if n < b:
             pad = np.zeros((b - n, *arr.shape[1:]), arr.dtype)
             arr = np.concatenate([arr, pad])
@@ -439,10 +479,18 @@ def main(argv=None):
     p.add_argument("--warmup", type=str, default="text",
                    help="comma-separated modalities to pre-compile all batch "
                         "buckets for at startup ('' skips)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel axis: request rows split over this "
+                        "many devices (-1 = all remaining)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis: weights sharded over this "
+                        "many devices (Large configs on small-HBM chips)")
     args = p.parse_args(argv)
     enable_compilation_cache()
     engine = EmbeddingEngine(args.ckpt_dir, args.IS_BASE, args.IS_CAPTIONED,
-                             args.tiny, args.vocab_dir)
+                             args.tiny, args.vocab_dir,
+                             mesh_data=args.mesh_data,
+                             mesh_model=args.mesh_model)
     if args.warmup:
         engine.warmup(tuple(m for m in args.warmup.split(",") if m))
     server = serve(engine, args.port, args.host, args.batch_window_ms)

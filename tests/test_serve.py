@@ -68,6 +68,28 @@ def test_embed_stream_matches_sequential(engine, rng):
         np.testing.assert_allclose(got, engine.embed_text(t), atol=1e-6)
 
 
+def test_sharded_engine_matches_single_device(engine, rng):
+    """dp=4 x tp=2 sharded serving on the 8-virtual-device mesh must
+    reproduce the single-device engine's embeddings (identical PRNG init)
+    — the same Megatron partition rules the trainer uses, applied to the
+    serving path."""
+    import jax.numpy as jnp
+
+    sharded = EmbeddingEngine(ckpt_dir="/nonexistent-sh", tiny=True,
+                              dtype=jnp.float32, max_batch=8,
+                              mesh_data=4, mesh_model=2)
+    assert sharded.min_bucket == 4
+    texts = ["dog", "rain on a roof", "a cat purring"]
+    np.testing.assert_allclose(sharded.embed_text(texts),
+                               engine.embed_text(texts), atol=2e-5)
+    imgs = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    np.testing.assert_allclose(sharded.embed_image(imgs),
+                               engine.embed_image(imgs), atol=2e-5)
+    waves = (0.2 * rng.standard_normal((2, 16000))).astype(np.float32)
+    np.testing.assert_allclose(sharded.embed_audio(waves),
+                               engine.embed_audio(waves), atol=2e-5)
+
+
 def test_microbatcher_coalesces_and_matches(engine):
     """Concurrent single-item requests through the MicroBatcher must (a)
     return exactly the unbatched embeddings and (b) coalesce into fewer
