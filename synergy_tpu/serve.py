@@ -58,6 +58,26 @@ def _bucket(n: int, max_batch: int, min_batch: int = 1) -> int:
     return min(b, max_batch)
 
 
+def _device_image_chain(imgs_u8, size: int):
+    """uint8 NHWC -> normalized NCHW pixel values, inside jit."""
+    imgs = imgs_u8.astype(jnp.float32) / 255.0
+    if imgs.shape[1] == size and imgs.shape[2] == size:
+        return jnp.transpose(normalize(imgs), (0, 3, 1, 2))
+    if imgs.shape[1] < size or imgs.shape[2] < size:
+        imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
+        return jnp.transpose(normalize(imgs), (0, 3, 1, 2))
+    return jax.vmap(lambda im: eval_transform(im, size))(imgs)
+
+
+def _device_fbank(waves, cfg):
+    """float32 [-1,1] or int16 PCM waveform -> (B, frames, mels), inside
+    jit; int16 is the half-transfer wire format, scaled on device."""
+    if waves.dtype == jnp.int16:
+        waves = waves.astype(jnp.float32) / 32767.0
+    fb = jax.vmap(log_mel_fbank)(waves)
+    return fb[:, : cfg.audio.max_length, : cfg.audio.num_mel_bins]
+
+
 class EmbeddingEngine:
     def __init__(self, ckpt_dir: str = "synergy_ckpt", is_base: bool = True,
                  is_captioned: bool = False, tiny: bool = False,
@@ -121,26 +141,13 @@ class EmbeddingEngine:
         # round-tripped the preprocessed tensors through host numpy — on the
         # axon tunnel that cost ~100x in dispatch + transfer latency.)
         def _image_fwd(p, imgs_u8):
-            imgs = imgs_u8.astype(jnp.float32) / 255.0
-            if imgs.shape[1] == size and imgs.shape[2] == size:
-                pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
-            elif imgs.shape[1] < size or imgs.shape[2] < size:
-                imgs = jax.vmap(lambda im: resize(im, (size, size)))(imgs)
-                pixel = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
-            else:
-                pixel = jax.vmap(lambda im: eval_transform(im, size))(imgs)
+            pixel = _device_image_chain(imgs_u8, size)
             return l2_normalize(m.apply(
                 {"params": p}, pixel, method=TriCLIP.get_image_features
             ).astype(jnp.float32))
 
         def _audio_fwd(p, waves):
-            if waves.dtype == jnp.int16:
-                # 16-bit PCM wire format: halves the host->device transfer
-                # (the serving bottleneck on thin links); scaled on device.
-                waves = waves.astype(jnp.float32) / 32767.0
-            fb = jax.vmap(log_mel_fbank)(waves)
-            fb = fb[:, : self.cfg.audio.max_length,
-                    : self.cfg.audio.num_mel_bins]
+            fb = _device_fbank(waves, self.cfg)
             return l2_normalize(m.apply(
                 {"params": p}, fb, method=TriCLIP.get_audio_features
             ).astype(jnp.float32))
@@ -249,6 +256,145 @@ class EmbeddingEngine:
                    ) -> np.ndarray:
         scale = float(np.exp(np.asarray(self.params[f"logit_scale_{pair}"])))
         return (a @ b.T) * scale
+
+
+class ReconstructionEngine:
+    """Missing-modality reconstruction serving (stage-2 MMR models).
+
+    Loads the stage-1 towers (checkpoint export) plus a trained MRL wrapper
+    (``train.mmr`` artifact) and reconstructs the missing modality from the
+    other two — the reference's ``inference_MMR``/``deploy`` story
+    (reference main_MMR.py:176-210) packaged as a service. Raw-input
+    preprocessing (image chain, fbank, tokenize) fuses into the jitted call
+    exactly like EmbeddingEngine; the unused third tower is dead-code
+    eliminated by XLA, so only the two present towers execute.
+    """
+
+    def __init__(self, mm: str, ckpt_dir: str = "synergy_ckpt",
+                 mrl_root: str = "inference", is_base: bool = True,
+                 is_captioned: bool = False, tiny: bool = False,
+                 vocab_dir: Optional[str] = None, max_batch: int = 16,
+                 dtype=jnp.bfloat16):
+        from synergy_tpu.configs import ReconstructionConfig
+        from synergy_tpu.train.mmr import (build_wrapper,
+                                           frozen_tower_features, load_mrl,
+                                           tiny_recon_config)
+
+        if mm not in ("img", "txt", "aud"):
+            raise ValueError(f"mm must be img/txt/aud, got {mm!r}")
+        self.mm = mm
+        self.recon_cfg = (tiny_recon_config() if tiny else
+                          (ReconstructionConfig.base() if is_base
+                           else ReconstructionConfig.large()))
+        cfg = self.cfg = self.recon_cfg.clip
+        self.tri = TriCLIP(cfg, dtype=dtype)
+        self.tokenizer = get_tokenizer(vocab_dir)
+        self.max_batch = max_batch
+        self.text_length = self.recon_cfg.text_length
+
+        tag = ckpt.size_tag(is_base, is_captioned)
+        size = cfg.vision.image_size
+        dummy = {
+            "pixel_values": jnp.zeros((1, 3, size, size)),
+            "input_ids": jnp.ones((1, self.text_length), jnp.int32),
+            "attention_mask": jnp.ones((1, self.text_length), jnp.int32),
+            "input_values": jnp.zeros((1, cfg.audio.max_length,
+                                       cfg.audio.num_mel_bins)),
+        }
+        try:
+            self.tri_params = ckpt.load_tri_clip_params(ckpt_dir, tag)
+            self.loaded_from = f"{ckpt_dir}/{tag}"
+        except (FileNotFoundError, OSError):
+            self.tri_params = jax.jit(self.tri.init)(
+                jax.random.PRNGKey(0), dummy["pixel_values"],
+                dummy["input_ids"], dummy["attention_mask"],
+                dummy["input_values"])["params"]
+            self.loaded_from = "random-init"
+
+        # wrapper in eval mode (txt: BatchNorm running stats)
+        wrapper = build_wrapper(self.recon_cfg, mm, dtype)
+        if mm == "txt":
+            from synergy_tpu.models.mmr import ImgAud2Txt
+            wrapper = ImgAud2Txt(self.recon_cfg, dtype, deterministic=True)
+        feats = jax.jit(lambda p, b: frozen_tower_features(
+            self.tri, p, b, mm))(self.tri_params, dummy)
+        variables = jax.jit(wrapper.init)(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, *feats)
+        w_params = variables["params"]
+        w_stats = variables.get("batch_stats", {})
+        mrl_base = f"{mrl_root}/{'base' if is_base else 'large'}_" \
+                   f"{'caption' if is_captioned else 'prompt'}/{mm}"
+        try:
+            w_params, w_stats = load_mrl(mrl_base, w_params, w_stats)
+            self.mrl_from = mrl_base
+        except (FileNotFoundError, OSError):
+            self.mrl_from = "random-init"
+        self._w_vars = {"params": w_params, "batch_stats": dict(w_stats)}
+
+        def _fwd(tri_p, w_vars, imgs_u8, ids, mask, waves):
+            batch = {
+                "pixel_values": _device_image_chain(imgs_u8, size),
+                "input_ids": ids,
+                "attention_mask": mask,
+                "input_values": _device_fbank(waves, cfg),
+            }
+            f = frozen_tower_features(self.tri, tri_p, batch, mm)
+            out = wrapper.apply(w_vars, *f)
+            if mm == "txt":
+                return jnp.argmax(out, axis=-1).astype(jnp.int32)
+            return out.astype(jnp.float32)
+
+        self._recon = jax.jit(_fwd)
+
+    def _pad(self, arr: np.ndarray):
+        n = arr.shape[0]
+        b = _bucket(n, self.max_batch)
+        if n < b:
+            arr = np.concatenate(
+                [arr, np.zeros((b - n, *arr.shape[1:]), arr.dtype)])
+        return arr, n
+
+    def reconstruct(self, images: Optional[np.ndarray] = None,
+                    texts: Optional[List[str]] = None,
+                    waves: Optional[np.ndarray] = None):
+        """Reconstruct the missing modality. Supply the two present ones:
+        mm='aud' needs images+texts, mm='img' texts+waves, mm='txt'
+        images+waves. Returns float32 arrays (img NCHW in ~[0,1]; aud
+        (B, 256, 64) log-mel) or decoded strings for mm='txt'."""
+        need = {"aud": ("images", "texts"), "img": ("texts", "waves"),
+                "txt": ("images", "waves")}[self.mm]
+        given = {"images": images, "texts": texts, "waves": waves}
+        missing = [k for k in need if given[k] is None]
+        if missing:
+            raise ValueError(f"mm={self.mm!r} requires {need}; missing "
+                             f"{missing}")
+        n = len(given[need[0]])
+        if len(given[need[1]]) != n:
+            raise ValueError("present modalities must have equal batch size")
+
+        size = self.cfg.vision.image_size
+        if images is None:
+            images = np.zeros((n, size, size, 3), np.uint8)
+        if waves is None:
+            waves = np.zeros((n, 16000), np.float32)
+        toks = (self.tokenizer(list(texts), max_length=self.text_length)
+                if texts is not None else
+                {"input_ids": np.ones((n, self.text_length), np.int32),
+                 "attention_mask": np.ones((n, self.text_length), np.int32)})
+
+        imgs, _ = self._pad(np.ascontiguousarray(images, dtype=np.uint8))
+        wdtype = np.int16 if getattr(waves, "dtype", None) == np.int16 \
+            else np.float32
+        wv, _ = self._pad(np.ascontiguousarray(waves, dtype=wdtype))
+        ids, _ = self._pad(toks["input_ids"])
+        mask, _ = self._pad(toks["attention_mask"])
+        out = np.asarray(self._recon(self.tri_params, self._w_vars,
+                                     jnp.asarray(imgs), jnp.asarray(ids),
+                                     jnp.asarray(mask), jnp.asarray(wv)))[:n]
+        if self.mm == "txt":
+            return [self.tokenizer.decode(row.tolist()) for row in out]
+        return out
 
 
 class MicroBatcher:
@@ -385,6 +531,7 @@ def _decode_array(payload: Dict, key: str, dtype) -> np.ndarray:
 class _Handler(BaseHTTPRequestHandler):
     engine: EmbeddingEngine = None  # set by serve()
     batcher: Optional[MicroBatcher] = None  # set by serve(batch_window_ms>0)
+    recon_engines: Dict[str, ReconstructionEngine] = {}  # set by serve()
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -411,6 +558,8 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/embed":
                 emb = self._embed(payload)
                 self._send(200, {"embeddings": emb.tolist()})
+            elif self.path == "/reconstruct":
+                self._send(200, self._reconstruct(payload))
             elif self.path == "/similarity":
                 texts = payload["texts"]
                 txt = self.engine.embed_text(texts)
@@ -449,16 +598,40 @@ class _Handler(BaseHTTPRequestHandler):
             return self.engine.embed_image(arr)
         return self.engine.embed_audio(arr)
 
+    def _reconstruct(self, payload: Dict) -> Dict:
+        mm = payload.get("mm")
+        eng = self.recon_engines.get(mm)
+        if eng is None:
+            raise ValueError(
+                f"no reconstruction engine for mm={mm!r} (server started "
+                f"with --recon_mm {','.join(self.recon_engines) or '<none>'})")
+        images = (_decode_array(payload, "image_b64", np.uint8)
+                  if "image_b64" in payload else None)
+        waves = None
+        if "audio_b64" in payload:
+            dtype = np.int16 if payload.get("dtype") == "int16" else np.float32
+            waves = _decode_array(payload, "audio_b64", dtype)
+        out = eng.reconstruct(images=images, texts=payload.get("texts"),
+                              waves=waves)
+        if mm == "txt":
+            return {"texts": out}
+        arr = np.ascontiguousarray(out, np.float32)
+        return {"recon_b64": base64.b64encode(arr.tobytes()).decode(),
+                "shape": list(arr.shape), "dtype": "float32"}
+
 
 def serve(engine: EmbeddingEngine, port: int = 8990, host: str = "127.0.0.1",
-          batch_window_ms: float = 0.0):
+          batch_window_ms: float = 0.0,
+          recon_engines: Optional[Dict[str, ReconstructionEngine]] = None):
     """``batch_window_ms > 0`` enables dynamic micro-batching of concurrent
     /embed requests (MicroBatcher); 0 keeps per-request engine calls. The
-    batcher is exposed as ``server.batcher`` (shut down with server)."""
+    batcher is exposed as ``server.batcher`` (shut down with server).
+    ``recon_engines`` maps mm -> ReconstructionEngine for /reconstruct."""
     batcher = MicroBatcher(engine, batch_window_ms) if batch_window_ms > 0 \
         else None
     handler = type("Handler", (_Handler,),
-                   {"engine": engine, "batcher": batcher})
+                   {"engine": engine, "batcher": batcher,
+                    "recon_engines": dict(recon_engines or {})})
     server = ThreadingHTTPServer((host, port), handler)
     server.batcher = batcher
     return server
@@ -485,6 +658,11 @@ def main(argv=None):
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel axis: weights sharded over this "
                         "many devices (Large configs on small-HBM chips)")
+    p.add_argument("--recon_mm", type=str, default="",
+                   help="comma-separated modalities (img,txt,aud) to serve "
+                        "/reconstruct for; needs trained MRL artifacts "
+                        "under --mrl_root")
+    p.add_argument("--mrl_root", type=str, default="inference")
     args = p.parse_args(argv)
     enable_compilation_cache()
     engine = EmbeddingEngine(args.ckpt_dir, args.IS_BASE, args.IS_CAPTIONED,
@@ -493,7 +671,15 @@ def main(argv=None):
                              mesh_model=args.mesh_model)
     if args.warmup:
         engine.warmup(tuple(m for m in args.warmup.split(",") if m))
-    server = serve(engine, args.port, args.host, args.batch_window_ms)
+    recon = {}
+    for mm in (m for m in args.recon_mm.split(",") if m):
+        recon[mm] = ReconstructionEngine(
+            mm, args.ckpt_dir, args.mrl_root, args.IS_BASE,
+            args.IS_CAPTIONED, args.tiny, args.vocab_dir)
+        print(f"[serve] /reconstruct mm={mm}: towers={recon[mm].loaded_from} "
+              f"wrapper={recon[mm].mrl_from}")
+    server = serve(engine, args.port, args.host, args.batch_window_ms,
+                   recon_engines=recon)
     print(f"[serve] checkpoint={engine.loaded_from} "
           f"listening on {args.host}:{args.port} "
           f"batch_window={args.batch_window_ms}ms")

@@ -118,6 +118,42 @@ def build_wrapper(recon_cfg: ReconstructionConfig, mm: str, dtype):
     return ImgAud2Txt(recon_cfg, dtype, deterministic=False)  # BN in train mode
 
 
+def save_mrl(out_base: str, w_params, w_stats) -> str:
+    """Write the MRL wrapper artifact: one msgpack dict holding params AND
+    batch_stats — the txt decoder's BatchNorm running stats (models/mmr.py
+    BatchNorm) are part of the trained model; a params-only save silently
+    reloads them at init (mean 0 / var 1) and corrupts eval-mode recon."""
+    import numpy as _np
+
+    from flax import serialization
+
+    os.makedirs(out_base, exist_ok=True)
+    path = os.path.join(out_base, "MRL_model.msgpack")
+    blob = {"params": w_params, "batch_stats": dict(w_stats)}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(
+            jax.tree_util.tree_map(_np.asarray, blob)))
+    return path
+
+
+def load_mrl(out_base: str, params_template, stats_template):
+    """Load an MRL artifact. Accepts the current {params, batch_stats} dict
+    and the legacy (round-2) params-only format, where batch_stats fall back
+    to the provided template (harmless for img/aud wrappers, which carry no
+    BatchNorm)."""
+    from flax import serialization
+
+    with open(os.path.join(out_base, "MRL_model.msgpack"), "rb") as f:
+        raw = f.read()
+    try:
+        blob = serialization.from_bytes(
+            {"params": params_template, "batch_stats": dict(stats_template)},
+            raw)
+        return blob["params"], blob["batch_stats"]
+    except (ValueError, KeyError):
+        return serialization.from_bytes(params_template, raw), stats_template
+
+
 def make_loader(args, recon_cfg, tokenizer, seq_len: int):
     """Step23-style loader (reference Dataset_Step23 filters VGGSound
     categories by CATE_IDX; synthetic mode reuses its label structure). In
@@ -264,12 +300,7 @@ def main(argv=None):
 
     # save wrapper (MRL contract, main_MMR.py:30-37)
     out_base = os.path.join(args.out_dir, f"{model_sz}_{text_des}", args.MM)
-    os.makedirs(out_base, exist_ok=True)
-    from flax import serialization
-
-    with open(os.path.join(out_base, "MRL_model.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(
-            jax.tree_util.tree_map(np.asarray, w_params)))
+    save_mrl(out_base, w_params, w_stats)
 
     # final inference + metrics + deploy renders (main_MMR.py:176-210)
     infer = build_wrapper(recon_cfg, args.MM, dtype)

@@ -160,3 +160,32 @@ def test_mmr_cli_multi_batch(tmp_path, capsys):
     assert int(m.group(1)) == 8  # 2 epochs x 4 batches
     losses = [float(x) for x in re.findall(r"loss=([0-9.]+)", out)]
     assert len(losses) == 2 and losses[-1] < losses[0], losses
+
+
+def test_mrl_save_load_roundtrip(tmp_path):
+    """The MRL artifact must round-trip params AND batch_stats (the txt
+    decoder's BatchNorm running stats are part of the trained model), and
+    still load legacy params-only files with template stats."""
+    from flax import serialization
+
+    from synergy_tpu.train.mmr import load_mrl, save_mrl
+
+    params = {"dense": {"kernel": np.arange(4, dtype=np.float32).reshape(2, 2)}}
+    stats = {"bn": {"mean": np.full((3,), 2.5, np.float32),
+                    "var": np.full((3,), 0.25, np.float32)}}
+    save_mrl(str(tmp_path / "cur"), params, stats)
+    zp = jax.tree_util.tree_map(np.zeros_like, params)
+    zs = jax.tree_util.tree_map(np.zeros_like, stats)
+    p2, s2 = load_mrl(str(tmp_path / "cur"), zp, zs)
+    np.testing.assert_array_equal(p2["dense"]["kernel"],
+                                  params["dense"]["kernel"])
+    np.testing.assert_array_equal(s2["bn"]["mean"], stats["bn"]["mean"])
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    with open(legacy / "MRL_model.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(params))
+    p3, s3 = load_mrl(str(legacy), zp, stats)
+    np.testing.assert_array_equal(p3["dense"]["kernel"],
+                                  params["dense"]["kernel"])
+    np.testing.assert_array_equal(s3["bn"]["var"], stats["bn"]["var"])

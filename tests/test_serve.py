@@ -68,6 +68,69 @@ def test_embed_stream_matches_sequential(engine, rng):
         np.testing.assert_allclose(got, engine.embed_text(t), atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def recon_engines():
+    import jax.numpy as jnp
+
+    from synergy_tpu.serve import ReconstructionEngine
+
+    return {mm: ReconstructionEngine(mm, ckpt_dir="/nonexistent-rc",
+                                     mrl_root="/nonexistent-rc", tiny=True,
+                                     dtype=jnp.float32, max_batch=4)
+            for mm in ("aud", "img", "txt")}
+
+
+def test_recon_engine_all_modalities(recon_engines, rng):
+    """Each wrapper reconstructs its missing modality from raw inputs
+    (uint8 images / strings / waveforms) with finite outputs and the
+    configured output geometry; missing-input validation raises."""
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    texts = ["a dog barking", "rain on a roof"]
+    waves = (0.1 * rng.standard_normal((2, 16000))).astype(np.float32)
+
+    aud = recon_engines["aud"].reconstruct(images=imgs, texts=texts)
+    cfg = recon_engines["aud"].recon_cfg
+    assert aud.shape[0] == 2 and aud.size == 2 * np.prod(cfg.aud_size)
+    assert np.isfinite(aud).all()
+
+    img = recon_engines["img"].reconstruct(texts=texts, waves=waves)
+    assert img.shape[0] == 2 and img.size == 2 * 3 * cfg.img_size ** 2
+    assert np.isfinite(img).all()
+
+    txt = recon_engines["txt"].reconstruct(images=imgs, waves=waves)
+    assert len(txt) == 2 and all(isinstance(t, str) for t in txt)
+
+    with pytest.raises(ValueError):
+        recon_engines["aud"].reconstruct(images=imgs)  # texts missing
+    with pytest.raises(ValueError):
+        recon_engines["img"].reconstruct(texts=texts, waves=waves[:1])
+
+
+def test_http_reconstruct_endpoint(engine, recon_engines, rng):
+    """/reconstruct over HTTP must match the engine called directly."""
+    import base64
+
+    srv = serve(engine, port=0, recon_engines={"aud": recon_engines["aud"]})
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        imgs = (rng.random((1, 32, 32, 3)) * 255).astype(np.uint8)
+        payload = {"mm": "aud", "texts": ["dog"],
+                   "image_b64": base64.b64encode(imgs.tobytes()).decode(),
+                   "shape": list(imgs.shape)}
+        status, body = _post(srv.server_address, "/reconstruct", payload)
+        assert status == 200
+        got = np.frombuffer(base64.b64decode(body["recon_b64"]),
+                            np.float32).reshape(body["shape"])
+        want = recon_engines["aud"].reconstruct(images=imgs, texts=["dog"])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        status, body = _post(srv.server_address, "/reconstruct",
+                             {"mm": "img", "texts": ["x"]})
+        assert status == 400 and "error" in body
+    finally:
+        srv.shutdown()
+
+
 def test_sharded_engine_matches_single_device(engine, rng):
     """dp=4 x tp=2 sharded serving on the 8-virtual-device mesh must
     reproduce the single-device engine's embeddings (identical PRNG init)
