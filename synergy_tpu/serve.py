@@ -14,6 +14,9 @@ this module packages the stage-1 model for production embedding extraction:
                        {"modality": "audio", "audio_b64": ..., "shape": [B,N],
                         "dtype": "int16"|"float32"}
       POST /similarity {"texts": [...], plus one of image_b64/audio_b64 ...}
+      POST /reconstruct {"mm": "aud"|"img"|"txt", plus the two present
+                        modalities} -> recon_b64 float32 (img/aud) or texts
+                        (requires --recon_mm engines; stage-2 MMR serving)
       GET  /healthz
     Binary payloads are base64-encoded little-endian arrays (uint8 for
     images, float32 in [-1,1] or int16 PCM waveform at 16 kHz for audio —
