@@ -24,6 +24,17 @@ import numpy as np
 
 from synergy_tpu.eval import labels as L
 
+# The reference spells image dataset names 'CIFAR-10' / 'Flowers-102' /
+# 'Pets' / 'ImageNet' (DT/FT_image_task.py:130-245, ZS/ZS_image_task.py:
+# 1373-1417); our canonical names are lowercase with 'flowers' unsuffixed.
+# Accepting the reference spellings verbatim makes migration copy-paste.
+_DATASET_ALIASES = {"flowers-102": "flowers", "oxford-iiit-pets": "pets"}
+
+
+def canonical_dataset_name(name: str) -> str:
+    name = name.lower()
+    return _DATASET_ALIASES.get(name, name)
+
 
 @dataclass
 class ImageSet:

@@ -25,7 +25,7 @@ from synergy_tpu.eval import metrics_io
 from synergy_tpu.eval.common import (
     VisionClassifier, finetune_classifier, init_from_export,
 )
-from synergy_tpu.eval.data import load_image_dataset
+from synergy_tpu.eval.data import canonical_dataset_name, load_image_dataset
 from synergy_tpu.train.checkpoint import size_tag
 from synergy_tpu.utils import enable_compilation_cache, set_seed, str2bool
 
@@ -60,7 +60,8 @@ def parse_args(argv=None):
     p.add_argument("--SEED", type=int, default=17)
     p.add_argument("--IS_BASE", type=str2bool, default=True)
     p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
-    p.add_argument("--DATASET", type=str, default="cifar-10",
+    p.add_argument("--DATASET", type=canonical_dataset_name,
+                   default="cifar-10",
                    choices=["cifar-10", "cifar-100", "pets", "flowers",
                             "imagenet"])
     p.add_argument("--EPOCHS", type=int, default=3)

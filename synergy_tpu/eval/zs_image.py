@@ -15,7 +15,7 @@ import numpy as np
 from synergy_tpu.data.pipeline import get_tokenizer
 from synergy_tpu.data.templates import ZS_IMAGE_PROMPT
 from synergy_tpu.eval import metrics_io
-from synergy_tpu.eval.data import load_image_dataset
+from synergy_tpu.eval.data import canonical_dataset_name, load_image_dataset
 from synergy_tpu.eval.labels import clean_label
 from synergy_tpu.eval.zs_common import (
     build_tri_clip, encode_prompts, preprocess_images, topk_from_scores,
@@ -30,7 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--SEED", type=int, default=17)
     p.add_argument("--IS_BASE", type=str2bool, default=True)
     p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
-    p.add_argument("--DATASET", type=str, default="cifar-10",
+    p.add_argument("--DATASET", type=canonical_dataset_name,
+                   default="cifar-10",
                    choices=["cifar-10", "cifar-100", "pets", "flowers",
                             "imagenet"])
     p.add_argument("--try_num", type=int, default=128)  # ZS protocol

@@ -119,6 +119,13 @@ def main(argv=None):
     maybe_initialize_distributed()
 
     n_dev = jax.device_count()
+    if args.WORLD_SIZE is not None and args.WORLD_SIZE != n_dev:
+        # reference semantics: --WORLD_SIZE = number of data-parallel workers
+        # (main_pretraining.py:285). On TPU the mesh spans every visible chip,
+        # so a mismatch usually means the user expected a different slice.
+        print(f"[pretrain] note: --WORLD_SIZE {args.WORLD_SIZE} != "
+              f"{n_dev} visible devices; the mesh uses all {n_dev} "
+              "(WORLD_SIZE is informational on TPU)")
     clip_cfg = (CLIPConfig.tiny() if args.tiny
                 else (CLIPConfig.base() if args.IS_BASE else CLIPConfig.large()))
     per_dev = 35 if args.IS_BASE else 14  # main_pretraining.py:79

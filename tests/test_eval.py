@@ -55,6 +55,20 @@ def test_glue_metric_functions():
     assert p > 99 and s == pytest.approx(100.0)
 
 
+def test_reference_dataset_spellings_accepted():
+    """The reference spells image datasets 'CIFAR-10'/'Flowers-102'/'Pets'/
+    'ImageNet' (DT/FT_image_task.py:130-245); our CLIs accept those verbatim
+    so reference run commands migrate copy-paste."""
+    from synergy_tpu.eval.ft_image import parse_args as ft_parse
+    from synergy_tpu.eval.zs_image import parse_args as zs_parse
+
+    for ref, ours in [("CIFAR-10", "cifar-10"), ("CIFAR-100", "cifar-100"),
+                      ("Flowers-102", "flowers"), ("Pets", "pets"),
+                      ("ImageNet", "imagenet")]:
+        assert ft_parse(["--DATASET", ref]).DATASET == ours
+        assert zs_parse(["--DATASET", ref]).DATASET == ours
+
+
 @pytest.mark.slow
 def test_zs_image_cli(tmp_path):
     from synergy_tpu.eval.zs_image import main
