@@ -102,8 +102,33 @@ def _host_params(params):
     return jax.device_get(replicate(params))
 
 
+def save_meta(ckpt_dir: str, tag: str, step: int, meta: Dict[str, Any]):
+    """Loop-position sidecar (epoch, best val loss, rng key) for exact resume.
+
+    Lives next to — not inside — the Orbax step directory so Orbax item
+    discovery never sees it. Written atomically (temp + os.replace)."""
+    import json
+
+    path = os.path.join(ckpt_dir, tag, f"meta_{int(step)}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def load_meta(ckpt_dir: str, tag: str, step: int) -> Optional[Dict[str, Any]]:
+    import json
+
+    path = os.path.join(ckpt_dir, tag, f"meta_{int(step)}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
-               async_save: bool = False):
+               async_save: bool = False, export: bool = True):
     """Full train state via Orbax (also exports the towers).
 
     Multi-process pods: the Orbax save is a collective with cross-process
@@ -117,6 +142,10 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
     blocks training for the full torch.save, main_pretraining.py:222-227).
     Call :func:`wait_for_saves` before process exit / reading the files
     (also registered via atexit as a crash-exit backstop).
+
+    ``export=False`` skips the per-modality export — used by preemption/
+    periodic saves so they never overwrite the best-validation towers the
+    downstream scripts load (the C12 contract tracks best val loss only).
     """
     import orbax.checkpoint as ocp
 
@@ -131,6 +160,8 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
             atexit.register(wait_for_saves)
         wait_for_saves()  # one in-flight save at a time (overwrite safety)
         _async_ckptr.save(dest, target, force=True)
+        if not export:
+            return
         host_params = _host_params(state.params)  # sync D2H, async disk
 
         if jax.process_index() == 0:
@@ -144,6 +175,8 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(dest, target, force=True)
     ckptr.wait_until_finished()
+    if not export:
+        return
     host_params = _host_params(state.params)
     if jax.process_index() == 0:
         export_towers(ckpt_dir, tag, host_params)
@@ -179,9 +212,12 @@ def restore_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None):
               "step": state.step}
     try:
         restored = ckptr.restore(path, target)
+        # step as a HOST scalar: Orbax restores it committed to one device;
+        # under a mesh that clashes with the sharded params in the next
+        # jitted step ("incompatible devices") — uncommitted auto-places
         return state.replace(params=restored["params"],
                              opt_state=restored["opt_state"],
-                             step=restored["step"])
+                             step=np.asarray(restored["step"]))
     except ValueError:
         # optimizer config changed (e.g. different accum_steps wraps the
         # opt state differently): restore params+step, fresh optimizer
@@ -191,7 +227,8 @@ def restore_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None):
                     item={"params": state.params, "step": state.step},
                     partial_restore=True))
         print("[checkpoint] optimizer state mismatch; restored params only")
-        return state.replace(params=restored["params"], step=restored["step"])
+        return state.replace(params=restored["params"],
+                             step=np.asarray(restored["step"]))
 
 
 def load_tri_clip_params(ckpt_dir: str, tag: str) -> Dict[str, Any]:

@@ -13,6 +13,14 @@ Extra flags (ours): --train_csv/--valid_csv/--test_csv, --synthetic,
 rank-local InfoNCE parity mode), --mesh_model (tensor-parallel axis size),
 --resume.
 
+Preemption safety (``--preempt_save``, default on): SIGTERM — what a TPU VM
+maintenance event or a batch scheduler delivers — finishes the in-flight
+step, writes a full resume checkpoint (state + epoch/best-val/rng sidecar,
+WITHOUT touching the best-validation tower export downstream scripts load)
+and exits 0; ``--resume true`` then continues from the interrupted epoch
+with the best-val gate intact. The reference has no recovery story at all
+(raw mp.spawn, SURVEY §5 failure detection).
+
 Usage:
   python -m synergy_tpu.train.pretrain --IS_BASE true --synthetic true \
       --epochs 1 --steps_per_epoch 4 --batch_size 8
@@ -22,6 +30,8 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
+import threading
 import time
 from typing import Dict
 
@@ -89,10 +99,14 @@ def parse_args(argv=None):
                    help="write a jax.profiler trace for epoch 0 here "
                         "(view with TensorBoard)")
     p.add_argument("--checkpoint_every", type=int, default=None,
-                   help="also checkpoint every N steps (recovery story; the "
+                   help="also checkpoint every N epochs (recovery story; the "
                         "reference only saved on best validation loss)")
     p.add_argument("--log_file", type=str, default=None,
                    help="append per-epoch metrics as JSONL here")
+    p.add_argument("--preempt_save", type=str2bool, default=True,
+                   help="on SIGTERM, finish the in-flight step, write a "
+                        "resume checkpoint and exit 0 (TPU-VM maintenance "
+                        "events / batch schedulers); --resume continues")
     return p.parse_args(argv)
 
 
@@ -187,9 +201,21 @@ def main(argv=None):
     )
 
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
-    if args.resume and ckpt.latest_step(args.ckpt_dir, tag) is not None:
+    start_epoch = 0
+    min_loss = float("inf")
+    aug_key = jax.random.PRNGKey(args.SEED + 1234)
+    resume_step = ckpt.latest_step(args.ckpt_dir, tag) if args.resume else None
+    if resume_step is not None:
         state = ckpt.restore_state(args.ckpt_dir, tag, state)
-        print(f"[pretrain] resumed from step {int(state.step)}")
+        meta = ckpt.load_meta(args.ckpt_dir, tag, resume_step)
+        if meta:  # loop position: epoch to (re)start, best-val gate, rng
+            start_epoch = int(meta.get("epoch", 0))
+            min_loss = float(meta.get("min_loss", float("inf")))
+            if "aug_key" in meta:
+                aug_key = jnp.asarray(meta["aug_key"], jnp.uint32)
+        print(f"[pretrain] resumed from step {int(state.step)} "
+              f"(epoch {start_epoch}, best val "
+              f"{min_loss if min_loss != float('inf') else 'n/a'})")
 
     train_step = jax.jit(make_train_step(model, train_cfg, num_groups,
                                          preprocess=True),
@@ -201,14 +227,27 @@ def main(argv=None):
         # process's local slice into one global array (mesh.shard_batch)
         return shard_batch(mesh, batch_np)
 
-    min_loss = float("inf")
-    aug_key = jax.random.PRNGKey(args.SEED + 1234)
+    preempted = threading.Event()
+    if args.preempt_save:
+        def _on_sigterm(signum, frame):
+            print("[pretrain] SIGTERM: finishing in-flight step, writing "
+                  "resume checkpoint", flush=True)
+            preempted.set()
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (in-process test harness)
+            pass
+
+    def _meta(next_epoch: int) -> dict:
+        return {"epoch": int(next_epoch), "min_loss": float(min_loss),
+                "aug_key": np.asarray(aug_key).tolist()}
+
     with mesh:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
             metrics_list = []
-            profiling = args.profile_dir and epoch == 0
+            profiling = args.profile_dir and epoch == start_epoch
             if profiling:
                 jax.profiler.start_trace(args.profile_dir)
             for step_idx, batch_np in enumerate(prefetch(iter(train_loader))):
@@ -218,6 +257,29 @@ def main(argv=None):
                 with jax.profiler.StepTraceAnnotation("train", step_num=step_idx):
                     state, metrics = train_step(state, put(batch_np), step_key)
                 metrics_list.append(metrics)
+                if args.preempt_save and n_proc > 1:
+                    # SIGTERM may reach only some processes; agree globally
+                    # every step so nobody blocks in the next collective
+                    from jax.experimental import multihost_utils
+
+                    if bool(multihost_utils.process_allgather(
+                            np.asarray(preempted.is_set())).any()):
+                        preempted.set()
+                if preempted.is_set():
+                    break
+            if preempted.is_set():
+                if profiling:
+                    jax.profiler.stop_trace()
+                # full state, no tower export (the export stays the
+                # best-validation one); the interrupted epoch restarts on
+                # resume — a bounded redo, no loader-position bookkeeping
+                ckpt.wait_for_saves()  # don't race an in-flight async save
+                ckpt.save_state(args.ckpt_dir, tag, state, export=False)
+                ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
+                               _meta(next_epoch=epoch))
+                print(f"[pretrain] preempted at epoch {epoch + 1} step "
+                      f"{int(state.step)}; resume with --resume true")
+                return state
             if profiling:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics_list[-1])
@@ -250,12 +312,19 @@ def main(argv=None):
                     # writes in the background
                     min_loss = val_loss
                     ckpt.save_state(args.ckpt_dir, tag, state, async_save=True)
+                    ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
+                                   _meta(next_epoch=epoch + 1))
                     if is_primary():
                         print(f"[pretrain]   saved checkpoint -> "
                               f"{args.ckpt_dir}/{tag}")
             if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
-                ckpt.save_state(args.ckpt_dir, tag + "_periodic", state,
-                                async_save=True)
+                # full state only (export=False): the per-modality export
+                # stays the best-validation one; --resume picks up whichever
+                # state step is newest (best-val or periodic)
+                ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
+                                export=False)
+                ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
+                               _meta(next_epoch=epoch + 1))
             if args.log_file and is_primary():
                 import json as _json
 
