@@ -391,6 +391,181 @@ def _flash_backward(q, k, v, out, lse, g, block_q: int = None,
 
 
 # ---------------------------------------------------------------------------
+# packed-heads variant: q/k/v in the natural (b, s, h*d) Dense-output layout
+# ---------------------------------------------------------------------------
+#
+# The standard path takes (b, h, s, d), which the model produces by
+# transposing the (b, s, h, d) view of each projection — and because a Pallas
+# custom call pins default layouts on its operands, XLA materializes that
+# transpose as a real HBM relayout copy on q, k, v and the output, forward
+# AND backward. Profiled at 15.4 ms/step of the 230 ms Base train step
+# (tools/profile_step.py; bf16[35,12,852,64] copies at layers.py/attention.py
+# sources). This variant consumes the projections AS PRODUCED: one program
+# per (batch, head-pair), each block a lane-aligned (s, 2*64) slab of the
+# (b, s, 768) array — zero transposes anywhere in the attention path.
+# Head pairs (G=2) keep every block 128-lane aligned; inside the program the
+# two heads are lane-slices computed sequentially with the same whole-seq
+# straight-line math as the standard kernel.
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int,
+                       sm_scale: float):
+    q2 = q_ref[0]  # (s, G*d) head-pair slab, native dtype
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    outs = []
+    for j in range(q2.shape[-1] // d):
+        q = q2[:, j * d:(j + 1) * d]
+        k = k2[:, j * d:(j + 1) * d]
+        v = v2[:, j * d:(j + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        l_safe = jnp.maximum(l, 1e-30)
+        outs.append((acc / l_safe).astype(o_ref.dtype))
+        lse = (m + jnp.log(l_safe))[:, 0]
+        lse_ref[0, j] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, *, d: int, sm_scale: float):
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    do2 = do_ref[0]
+    dqs, dks, dvs = [], [], []
+    for j in range(q2.shape[-1] // d):
+        q = q2[:, j * d:(j + 1) * d]
+        k = k2[:, j * d:(j + 1) * d]
+        v = v2[:, j * d:(j + 1) * d]
+        do = do2[:, j * d:(j + 1) * d]
+        lse = lse_ref[0, j, 0][:, None]
+        delta = delta_ref[0, j, 0][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        p = jnp.exp(s - lse)
+        dv = jax.lax.dot_general(p.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+
+
+_PACKED_G = 2  # heads per program: G*d = 128 keeps lane offsets tile-aligned
+
+
+def packed_flash_supported(seq_len: int, num_heads: int, d: int,
+                           bias) -> bool:
+    """Engages for the whole-sequence regime on lane-alignable head pairs —
+    exactly the audio towers (852/1214 tokens, h=12, d=64)."""
+    return (bias is None and d == 64 and num_heads % _PACKED_G == 0
+            and 512 <= seq_len <= 2048
+            and jax.default_backend() == "tpu")
+
+
+def _packed_forward(q, k, v, num_heads: int):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    grid = (b, num_heads // _PACKED_G)
+    slab = pl.BlockSpec((1, s, _PACKED_G * d), lambda bi, pi: (bi, 0, pi),
+                        memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, _PACKED_G, 8, s), lambda bi, pi: (bi, pi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, d=d, sm_scale=1.0 / (d ** 0.5)),
+        grid=grid,
+        in_specs=[slab, slab, slab],
+        out_specs=(slab, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, 8, s), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * d,
+            bytes_accessed=3 * q.size * q.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v)
+    return out, lse
+
+
+def _packed_backward(q, k, v, lse, delta, g, num_heads: int):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    grid = (b, num_heads // _PACKED_G)
+    slab = pl.BlockSpec((1, s, _PACKED_G * d), lambda bi, pi: (bi, 0, pi),
+                        memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, _PACKED_G, 8, s), lambda bi, pi: (bi, pi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, d=d, sm_scale=1.0 / (d ** 0.5)),
+        grid=grid,
+        in_specs=[slab, slab, slab, slab, lse_spec, lse_spec],
+        out_specs=(slab, slab, slab),
+        out_shape=(jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, s, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b, s, hd), v.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * s * s * d,
+            bytes_accessed=9 * q.size * q.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           num_heads: int) -> jnp.ndarray:
+    """Flash attention over (b, s, h*d) projections — no transposes.
+
+    Use :func:`packed_flash_supported` to decide routing; unsupported shapes
+    should take the standard (b, h, s, d) path instead."""
+    out, _ = _packed_forward(q, k, v, num_heads)
+    return out
+
+
+def _packed_vjp_fwd(q, k, v, num_heads):
+    out, lse = _packed_forward(q, k, v, num_heads)
+    return out, (q, k, v, out, lse)
+
+
+def _packed_vjp_bwd(num_heads, res, g):
+    q, k, v, out, lse = res
+    b, s, hd = q.shape
+    d = hd // num_heads
+    # delta = rowsum(do * o) per head, staged as (b, h, 8, s) to match lse
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, s, num_heads, d).sum(-1)
+    delta = jnp.broadcast_to(
+        delta.transpose(0, 2, 1)[:, :, None, :], (b, num_heads, 8, s))
+    dq, dk, dv = _packed_backward(q, k, v, lse, delta, g, num_heads)
+    return dq, dk, dv
+
+
+flash_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
 

@@ -187,14 +187,43 @@ def fused_mlp(x, w1, b1, w2, b2, act: str = "gelu"):
 
 
 def _vjp_fwd(x, w1, b1, w2, b2, act):
-    y, vjp = jax.vjp(
-        lambda x_, w1_, b1_, w2_, b2_: xla_mlp(x_, w1_, b1_, w2_, b2_, act),
-        x, w1, b1, w2, b2)
-    return y, vjp
+    """XLA-path forward saving ONLY (x, h) as residuals.
+
+    ``jax.vjp(xla_mlp)`` would additionally save the activation output
+    ``a`` — a second (rows, d_ff) tensor per layer (366 MB/layer at the AST
+    Base shape, ~5 GB across the towers at batch 35), which pushed HBM past
+    the point where XLA's HLO rematerialization kicked in and recomputed the
+    fc1 fusion for 8 of 12 AST layers every backward (~13 ms/step, measured
+    in the profile — tools/profile_step.py). Recomputing ``act(h)`` in the
+    backward is a cheap VPU sweep by comparison."""
+    from synergy_tpu.models.layers import ACTIVATIONS
+
+    w1c, b1c, w2c, b2c = (t.astype(x.dtype) for t in (w1, b1, w2, b2))
+    h = jnp.dot(x, w1c) + b1c
+    a = ACTIVATIONS[act](h)
+    y = jnp.dot(a, w2c) + b2c
+    return y, (x, h, w1, b1, w2, b2)
 
 
-def _vjp_bwd(act, vjp, g):
-    return vjp(g)
+def _vjp_bwd(act, res, g):
+    """Chained sub-VJPs of the SAME ops xla_mlp runs — the chain rule
+    decomposes identically, so gradients stay bit-for-bit equal to
+    ``jax.vjp(xla_mlp)`` (tests/test_fused_mlp.py pins this) while only the
+    activation is recomputed here instead of saved in the forward."""
+    from synergy_tpu.models.layers import ACTIVATIONS
+
+    x, h, w1, b1, w2, b2 = res
+
+    def lin(t, w, b):
+        return jnp.dot(t, w.astype(t.dtype)) + b.astype(t.dtype)
+
+    a, act_vjp = jax.vjp(ACTIVATIONS[act], h)
+    _, lin2_vjp = jax.vjp(lin, a, w2, b2)
+    da, dw2, db2 = lin2_vjp(g)
+    dh = act_vjp(da)[0]
+    _, lin1_vjp = jax.vjp(lin, x, w1, b1)
+    dx, dw1, db1 = lin1_vjp(dh)
+    return dx, dw1, db1, dw2, db2
 
 
 fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
