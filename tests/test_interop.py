@@ -197,3 +197,73 @@ def test_port_cli_feeds_downstream(tmp_path, torch_tri_clip):
     params = load_tri_clip_params(str(tmp_path / "ck"), "base_prompt")
     assert float(np.asarray(params["logit_scale_IT"])) == pytest.approx(2.6592)
     assert "kernel" in params["vision_projection"]
+
+
+# ---------------------------------------------------------------------------
+# export direction (interop/export_hf.py): flax -> torch/HF artifacts
+# ---------------------------------------------------------------------------
+
+
+def test_export_inverts_port_bitwise(torch_tri_clip):
+    """port -> export must reproduce the reference state dict bit-for-bit
+    (transposes are lossless; no leaf may drift or go missing)."""
+    from synergy_tpu.interop import export_hf
+
+    sd_ref = torch_tri_clip.state_dict()
+    params = hf_port.port_tri_clip(sd_ref)
+    sd_out = export_hf.export_tri_clip_state_dict(params)
+    ref_keys = {k for k in sd_ref if "position_ids" not in k}
+    assert set(sd_out) == ref_keys
+    for k in sd_out:
+        np.testing.assert_array_equal(
+            np.asarray(sd_out[k]), sd_ref[k].detach().numpy(), err_msg=k)
+
+
+def test_export_cli_writes_reference_tar(tmp_path, torch_tri_clip):
+    """export_cli reads the per-tower export and writes a CLIP_model_*.tar
+    the port path loads back bit-identically (full cycle: torch -> flax ->
+    C12 export -> reference tar -> flax)."""
+    import jax
+
+    from synergy_tpu.interop import export_cli
+    from synergy_tpu.train import checkpoint as ckpt
+
+    params = hf_port.port_tri_clip(torch_tri_clip.state_dict())
+    ckpt.export_towers(str(tmp_path), "base_prompt", params)
+    out = export_cli.main(["--ckpt_dir", str(tmp_path),
+                           "--out", str(tmp_path / "CLIP_model_roundtrip.tar")])
+    back = hf_port.load_reference_checkpoint(out)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+
+def test_export_hf_tower_dirs_roundtrip(tmp_path, torch_tri_clip):
+    """Per-tower HF save_pretrained dirs + projection_head.tar — the exact
+    artifact the reference's FT scripts load (main_pretraining.py:31-59) —
+    must round-trip through HF from_pretrained bit-identically."""
+    import jax
+
+    from synergy_tpu.interop import export_hf
+
+    params = hf_port.port_tri_clip(torch_tri_clip.state_dict())
+    cfgs = {"vision": torch_tri_clip.vision_model.config,
+            "text": torch_tri_clip.text_model.config,
+            "audio": torch_tri_clip.audio_model.config}
+    paths = export_hf.export_hf_tower_dirs(params, str(tmp_path / "hf"),
+                                           configs=cfgs)
+    for modality in ("vision", "text", "audio"):
+        tower, proj = hf_port.load_hf_tower_dir(paths[modality], modality)
+        flat_a = jax.tree_util.tree_leaves_with_path(params[modality])
+        flat_b = jax.tree_util.tree_leaves_with_path(tower)
+        assert [p for p, _ in flat_a] == [p for p, _ in flat_b], modality
+        for (path, a), (_, b) in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{modality}{path}")
+        np.testing.assert_array_equal(
+            np.asarray(proj["kernel"]),
+            np.asarray(params[f"{modality}_projection"]["kernel"]),
+            err_msg=f"{modality} projection")
