@@ -118,10 +118,13 @@ def _fused_mlp_fwd_impl(x2, w1, b1, w2, b2, act: str):
     d_ff = w1.shape[1]
     d_out = w2.shape[1]
     bm, bf = _block_policy(n, d_in, d_ff, d_out)
-    n_pad = _round_up(n, bm)
     ff_pad = _round_up(d_ff, bf)
 
-    xp = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    # rows are NOT padded: Mosaic masks partial row tiles itself, and the
+    # kernel is row-independent, so whatever lands in the masked tail rows
+    # never touches real rows (the explicit jnp.pad both copied x through
+    # HBM and cost ~1.3 ms/step of pad fusions in the infer profile)
+    xp = x2
     # zero-padded W2 rows null out whatever act(0 + b1_pad) produces in the
     # padded d_ff columns, so no output masking is needed
     w1p = jnp.pad(w1, ((0, 0), (0, ff_pad - d_ff)))
@@ -130,7 +133,7 @@ def _fused_mlp_fwd_impl(x2, w1, b1, w2, b2, act: str):
     b2p = b2.reshape(1, d_out)
 
     num_fb = ff_pad // bf
-    grid = (n_pad // bm, num_fb)
+    grid = ((n + bm - 1) // bm, num_fb)
     kernel = functools.partial(_fwd_kernel, act=act, num_fb=num_fb)
     y = pl.pallas_call(
         kernel,
@@ -149,14 +152,14 @@ def _fused_mlp_fwd_impl(x2, w1, b1, w2, b2, act: str):
         ],
         out_specs=pl.BlockSpec((bm, d_out), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d_out), x2.dtype),
         scratch_shapes=[pltpu.VMEM((bm, d_out), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * d_in * ff_pad + 2 * n_pad * ff_pad * d_out,
-            bytes_accessed=(xp.size + n_pad * d_out
+            flops=2 * n * d_in * ff_pad + 2 * n * ff_pad * d_out,
+            bytes_accessed=(xp.size + n * d_out
                             + (w1p.size + w2p.size) * grid[0])
                            * x2.dtype.itemsize,
-            transcendentals=n_pad * ff_pad,
+            transcendentals=n * ff_pad,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, w1p, b1p, w2p, b2p)

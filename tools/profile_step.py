@@ -131,12 +131,37 @@ def run_and_trace(args):
     }
     train_cfg = TrainConfig(per_device_batch=b, accum_steps=1)
     state = create_train_state(jax.random.PRNGKey(0), model, train_cfg, batch)
+    key = jax.random.PRNGKey(1)
+
+    if args.mode == "infer":
+        params = state.params
+
+        @jax.jit
+        def step_fn(params, batch):
+            return model.apply(
+                {"params": params}, batch["pixel_values"],
+                batch["input_ids"], batch["attention_mask"],
+                batch["input_values"])
+
+        out = step_fn(params, batch)
+        # axon gotcha: block_until_ready does not sync through the tunnel;
+        # force a host transfer (same pattern as bench.py)
+        float(jnp.sum(out["image_embeds"]))
+        jax.profiler.start_trace(args.trace_dir)
+        for i in range(args.steps):
+            with jax.profiler.StepTraceAnnotation("bench", step_num=i):
+                out = step_fn(params, batch)
+        float(jnp.sum(out["image_embeds"]))
+        jax.profiler.stop_trace()
+        print(f"[profile] trace written to {args.trace_dir}")
+        return
+
     step_fn = jax.jit(make_train_step(model, train_cfg, num_groups=1),
                       donate_argnums=0)
-    key = jax.random.PRNGKey(1)
     # warm up (compile) OUTSIDE the trace
     state, m = step_fn(state, batch, key)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), m)
+    float(jnp.sum(m["loss"])) if isinstance(m, dict) and "loss" in m else \
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), m)
 
     jax.profiler.start_trace(args.trace_dir)
     for i in range(args.steps):
@@ -151,6 +176,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=35)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--mode", choices=["train", "infer"], default="train")
     p.add_argument("--size", choices=["base", "large"], default="base")
     p.add_argument("--trace_dir", type=str, default="/tmp/synergy_prof")
     p.add_argument("--digest_only", action="store_true",
