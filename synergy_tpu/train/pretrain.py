@@ -128,9 +128,12 @@ def build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    # distributed init MUST precede anything that initializes the XLA
+    # backend (set_seed builds a PRNGKey; jax.distributed.initialize raises
+    # after any backend touch) — caught by test_preempt.py's 2-process case
+    maybe_initialize_distributed()
     enable_compilation_cache()
     key = set_seed(args.SEED)
-    maybe_initialize_distributed()
 
     n_dev = jax.device_count()
     if args.WORLD_SIZE is not None and args.WORLD_SIZE != n_dev:
