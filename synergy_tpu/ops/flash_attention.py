@@ -433,7 +433,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int,
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
-def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
                        dq_ref, dk_ref, dv_ref, *, d: int, sm_scale: float):
     q2 = q_ref[0]
     k2 = k_ref[0]
@@ -446,7 +446,6 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         v = v2[:, j * d:(j + 1) * d]
         do = do2[:, j * d:(j + 1) * d]
         lse = lse_ref[0, j, 0][:, None]
-        delta = delta_ref[0, j, 0][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         p = jnp.exp(s - lse)
@@ -455,6 +454,10 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        # delta = rowsum(do*o) = rowsum(p*dp) exactly (o = p@v), with p and
+        # dp already live in f32 registers — this deletes the XLA delta
+        # pass over do/out AND removes out from the saved residuals
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -506,7 +509,7 @@ def _packed_forward(q, k, v, num_heads: int):
     return out, lse
 
 
-def _packed_backward(q, k, v, lse, delta, g, num_heads: int):
+def _packed_backward(q, k, v, lse, g, num_heads: int):
     b, s, hd = q.shape
     d = hd // num_heads
     grid = (b, num_heads // _PACKED_G)
@@ -517,19 +520,19 @@ def _packed_backward(q, k, v, lse, delta, g, num_heads: int):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, d=d, sm_scale=1.0 / (d ** 0.5)),
         grid=grid,
-        in_specs=[slab, slab, slab, slab, lse_spec, lse_spec],
+        in_specs=[slab, slab, slab, slab, lse_spec],
         out_specs=(slab, slab, slab),
         out_shape=(jax.ShapeDtypeStruct((b, s, hd), q.dtype),
                    jax.ShapeDtypeStruct((b, s, hd), k.dtype),
                    jax.ShapeDtypeStruct((b, s, hd), v.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * num_heads * s * s * d,
-            bytes_accessed=9 * q.size * q.dtype.itemsize,
+            bytes_accessed=8 * q.size * q.dtype.itemsize,
             transcendentals=b * num_heads * s * s,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, k, v, g, lse, delta)
+    )(q, k, v, g, lse)
     return dq, dk, dv
 
 
@@ -546,20 +549,14 @@ def flash_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _packed_vjp_fwd(q, k, v, num_heads):
     out, lse = _packed_forward(q, k, v, num_heads)
-    return out, (q, k, v, out, lse)
+    # the backward recomputes delta = rowsum(p*dp) in-kernel, so `out` is
+    # NOT a residual (saves a (b, s, h*d) tensor per layer)
+    return out, (q, k, v, lse)
 
 
 def _packed_vjp_bwd(num_heads, res, g):
-    q, k, v, out, lse = res
-    b, s, hd = q.shape
-    d = hd // num_heads
-    # delta = rowsum(do * o) per head, staged as (b, h, 8, s) to match lse
-    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
-        b, s, num_heads, d).sum(-1)
-    delta = jnp.broadcast_to(
-        delta.transpose(0, 2, 1)[:, :, None, :], (b, num_heads, 8, s))
-    dq, dk, dv = _packed_backward(q, k, v, lse, delta, g, num_heads)
-    return dq, dk, dv
+    q, k, v, lse = res
+    return _packed_backward(q, k, v, lse, g, num_heads)
 
 
 flash_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
