@@ -29,18 +29,32 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads):
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        fused = getattr(self.tx, "fused_apply", None)
+        if fused is not None:
+            # one elementwise pass per leaf (no materialized update tree);
+            # bit-identical to the optax path — see train/optim.py
+            new_params, new_opt_state = fused(grads, self.opt_state,
+                                              self.params)
+        else:
+            updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                    self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state)
 
 
 def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.adamw(train_cfg.learning_rate,
-                     weight_decay=train_cfg.weight_decay)
     if train_cfg.accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=train_cfg.accum_steps)
-    return tx
+        # MultiSteps drives the inner transformation through the generic
+        # update/apply_updates API, so the fused apply cannot engage inside
+        # it; the accumulate-then-apply schedule keeps the plain pairing
+        tx = optax.adamw(train_cfg.learning_rate,
+                         weight_decay=train_cfg.weight_decay)
+        return optax.MultiSteps(tx, every_k_schedule=train_cfg.accum_steps)
+    from synergy_tpu.train.optim import fused_adamw
+
+    return fused_adamw(train_cfg.learning_rate,
+                       weight_decay=train_cfg.weight_decay)
 
 
 def create_train_state(rng: jax.Array, model: TriCLIP, train_cfg: TrainConfig,
