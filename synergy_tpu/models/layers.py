@@ -88,6 +88,26 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv-compatible {kernel, bias} param pair (HWIO layout,
+    lecun_normal / zeros, f32) without binding the compute, so the towers can
+    route patchify to the matmul formulation (ops/patchify.py). Checkpoints
+    and the HF port see the exact nn.Conv param tree."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 def _resolve_mlp_impl(n_rows: int, d_in: int, d_ff: int, d_out: int,
                       override: Optional[str]) -> str:
     """'fused' routes to the Pallas fused-MLP kernel (ops/fused_mlp.py).

@@ -19,7 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from synergy_tpu.configs import VisionConfig
-from synergy_tpu.models.layers import TransformerEncoder
+from synergy_tpu.models.layers import TransformerEncoder, _ConvParams
+from synergy_tpu.ops.patchify import patch_embed
 
 
 class ViTEmbeddings(nn.Module):
@@ -29,17 +30,15 @@ class ViTEmbeddings(nn.Module):
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        # accept NCHW (reference/HF layout); convs run NHWC on TPU
+        # accept NCHW (reference/HF layout); patchify runs NHWC on TPU
         x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(self.dtype)
-        patches = nn.Conv(
-            cfg.hidden_size,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            name="patch_embedding",
-        )(x)
+        # param layout/init identical to nn.Conv(use_bias=False); the compute
+        # is a reshape + matmul (ops/patchify.py) — the XLA conv runs far off
+        # the MXU rate at these shapes
+        kernel = _ConvParams(cfg.hidden_size, cfg.patch_size, use_bias=False,
+                             name="patch_embedding")(x.shape[-1])[0]
+        patches = patch_embed(x, kernel.astype(self.dtype), None,
+                              (cfg.patch_size, cfg.patch_size))
         b = patches.shape[0]
         patches = patches.reshape(b, -1, cfg.hidden_size)
         cls = self.param(
