@@ -163,7 +163,7 @@ def _fused_mlp_fwd_impl(x2, w1, b1, w2, b2, act: str):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, w1p, b1p, w2p, b2p)
-    return y[:n]
+    return y
 
 
 def xla_mlp(x, w1, b1, w2, b2, act: str = "gelu"):

@@ -182,33 +182,31 @@ class EmbeddingEngine:
         return arr, n
 
     def embed_text(self, texts: List[str]) -> np.ndarray:
-        toks = self.tokenizer(texts, max_length=self.seq_max_length)
-        ids, n = self._pad(toks["input_ids"])
-        mask, _ = self._pad(toks["attention_mask"])
-        out = self._embed_text(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        out, n = self._dispatch("text", texts)
         return np.asarray(out)[:n]
 
     def embed_image(self, images_uint8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, D); preprocessing fused on device."""
-        imgs, n = self._pad(np.ascontiguousarray(images_uint8, dtype=np.uint8))
-        out = self._embed_image(self.params, jnp.asarray(imgs))
+        out, n = self._dispatch("image", images_uint8)
         return np.asarray(out)[:n]
 
     def embed_audio(self, waves: np.ndarray) -> np.ndarray:
         """(B, N) @16 kHz -> (B, D); fbank fused on device. float32 in
         [-1, 1] or int16 PCM (preferred on thin links: half the transfer)."""
-        dtype = np.int16 if waves.dtype == np.int16 else np.float32
-        waves, n = self._pad(np.ascontiguousarray(waves, dtype=dtype))
-        out = self._embed_audio(self.params, jnp.asarray(waves))
+        out, n = self._dispatch("audio", waves)
         return np.asarray(out)[:n]
 
     def warmup(self, modalities=("text",), image_size=None, wave_len=16000):
-        """Pre-compile every power-of-two batch bucket for the given
-        modalities so no request ever pays a compile. Serving best practice —
-        without it the first request at each new bucket stalls for the XLA
-        compile (tens of seconds on a cold TPU)."""
+        """Pre-compile every batch bucket for the given modalities so no
+        request ever pays a compile. Buckets are powers of two capped at
+        max_batch (see _bucket), so the cap itself is warmed even when it is
+        not a power of two. One compiled program exists per RAW input shape:
+        serve fixed-resolution images / fixed-length waves (or warm each
+        deployment shape explicitly) — a new raw shape costs one XLA compile
+        (tens of seconds on a cold TPU)."""
         b = 1
         while True:
+            b = min(b, self.max_batch)
             if "text" in modalities:
                 self.embed_text(["warmup"] * b)
             if "image" in modalities:
@@ -460,6 +458,7 @@ class MicroBatcher:
         while True:
             first = self._q.get()
             if first is None:
+                self._done_q.put(None)  # release the completer too
                 return
             group, rows = [first], first[3]
             key = first[0]
@@ -572,8 +571,12 @@ class _Handler(BaseHTTPRequestHandler):
                     pair = "IT"
                     sim = self.engine.similarity(other, txt, pair)
                 else:
+                    # same wire contract as /embed and /reconstruct:
+                    # "dtype": "int16" selects PCM (half the transfer bytes)
+                    adtype = (np.int16 if payload.get("dtype") == "int16"
+                              else np.float32)
                     other = self.engine.embed_audio(
-                        _decode_array(payload, "audio_b64", np.float32))
+                        _decode_array(payload, "audio_b64", adtype))
                     pair = "TA"
                     sim = self.engine.similarity(txt, other, pair).T
                 self._send(200, {"similarity": sim.tolist(), "pair": pair})

@@ -209,6 +209,12 @@ def main(argv=None):
     tri = TriCLIP(clip_cfg, dtype=dtype)
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
     loader = make_loader(args, recon_cfg, tokenizer, seq_len)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"[mmr] loader yields zero batches ({len(loader.ds)} rows, "
+            f"--batch_size {loader.batch_size}): in multi-batch mode "
+            f"(--single_batch false) drop_last requires at least one full "
+            f"batch of rows")
     prep = make_preprocessor(clip_cfg)
     batch = prep(next(iter(loader)))
     try:

@@ -356,3 +356,52 @@ def test_http_concurrent_embed_stable(server):
     for t in threads:
         t.join()
     assert not failures, f"{len(failures)} corrupted concurrent responses"
+
+
+def test_microbatcher_close_is_prompt_when_idle(engine):
+    """close() on an idle batcher must release both threads immediately
+    (regression: the worker's idle-stop path never signaled the completer,
+    so every close stalled the full join timeout and leaked the thread)."""
+    import time
+
+    from synergy_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(engine, window_ms=2.0)
+    b.embed("text", ["warm"])
+    t0 = time.monotonic()
+    b.close()
+    assert time.monotonic() - t0 < 2.0
+    assert not b._t.is_alive() and not b._c.is_alive()
+
+
+def test_warmup_covers_non_power_of_two_max_batch():
+    """warmup() must compile the max_batch bucket itself, not a bypassing
+    oversized program (regression: max_batch=6 warmed 1,2,4 then ran an
+    unpadded batch-8 call, leaving bucket 6 cold)."""
+    import jax.numpy as jnp
+
+    eng = EmbeddingEngine(ckpt_dir="/nonexistent-wm", tiny=True,
+                          dtype=jnp.float32, max_batch=6)
+    seen = []
+    orig = eng._embed_text
+    eng._embed_text = lambda p, i, a: (seen.append(i.shape[0]),
+                                       orig(p, i, a))[1]
+    eng.warmup(("text",))
+    assert seen == [1, 2, 4, 6]
+
+
+def test_http_similarity_accepts_int16_audio(server, rng):
+    """/similarity must honor the int16 PCM wire contract like /embed."""
+    wave_f32 = (rng.random((1, 4000)).astype(np.float32) - 0.5) * 0.2
+    wave_i16 = (wave_f32 * 32768.0).astype(np.int16)
+    status, out = _post(server, "/similarity", {
+        "texts": ["a dog", "rain"],
+        "audio_b64": base64.b64encode(wave_i16.tobytes()).decode(),
+        "shape": list(wave_i16.shape),
+        "dtype": "int16",
+    })
+    assert status == 200
+    sim = np.asarray(out["similarity"])
+    # rows = audio clips, cols = texts (same convention as the image case)
+    assert sim.shape == (1, 2) and out["pair"] == "TA"
+    assert np.all(np.isfinite(sim))

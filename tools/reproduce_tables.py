@@ -248,13 +248,14 @@ def main(argv=None):
             rc = subprocess.call([sys.executable, "-c", stub],
                                  cwd=args.workdir)
             if rc != 0:
-                failures.append((" ".join(cmd[2:]), rc))
+                failures.append((f"synergy_tpu.eval.{family} "
+                                 + " ".join(full_args), rc))
                 if not args.keep_going:
                     sys.exit(rc)
         if failures:
             print(f"[reproduce] {len(failures)} runs failed:")
-            for cmd, rc in failures:
-                print(f"  rc={rc}: {cmd}")
+            for failed, rc in failures:
+                print(f"  rc={rc}: {failed}")
     if args.dry_run:
         return
     report = render_report(args.workdir)
