@@ -210,11 +210,12 @@ def main(argv=None):
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
     loader = make_loader(args, recon_cfg, tokenizer, seq_len)
     if len(loader) == 0:
+        why = ("multi-batch mode (--single_batch false) drops partial "
+               "batches, so at least one full batch of rows is required"
+               if not args.single_batch else "the dataset loaded zero rows")
         raise SystemExit(
             f"[mmr] loader yields zero batches ({len(loader.ds)} rows, "
-            f"--batch_size {loader.batch_size}): in multi-batch mode "
-            f"(--single_batch false) drop_last requires at least one full "
-            f"batch of rows")
+            f"--batch_size {loader.batch_size}): {why}")
     prep = make_preprocessor(clip_cfg)
     batch = prep(next(iter(loader)))
     try:

@@ -49,6 +49,12 @@ def _safe_increment(count: jnp.ndarray) -> jnp.ndarray:
 
 def fused_adamw(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
                 eps: float = 1e-8, weight_decay: float = 0.0) -> FusedAdamW:
+    if callable(learning_rate):
+        # a schedule changes optax.adamw's state pytree (ScaleByScheduleState
+        # carries its own count) and the fused expression below bakes lr in;
+        # use plain optax.adamw for schedules
+        raise TypeError("fused_adamw takes a float learning rate; "
+                        "use optax.adamw for schedules")
     base = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                        weight_decay=weight_decay)
 

@@ -51,6 +51,9 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
         tx = optax.adamw(train_cfg.learning_rate,
                          weight_decay=train_cfg.weight_decay)
         return optax.MultiSteps(tx, every_k_schedule=train_cfg.accum_steps)
+    if callable(train_cfg.learning_rate):  # schedules: plain optax path
+        return optax.adamw(train_cfg.learning_rate,
+                           weight_decay=train_cfg.weight_decay)
     from synergy_tpu.train.optim import fused_adamw
 
     return fused_adamw(train_cfg.learning_rate,
