@@ -10,7 +10,11 @@ gradient all-reduce (reference main_pretraining.py:61-67,124-138,285). Here:
   * optional tensor parallelism on 'model': attention/MLP kernels are sharded
     head-/column-wise via path-based partition rules (useful for the Large
     config; 'model'=1 degenerates to pure DP and matches the reference's
-    strategy inventory, SURVEY §2.3).
+    strategy inventory, SURVEY §2.3);
+  * optional FSDP (ZeRO-3 style): params + Adam moments additionally sharded
+    over 'data' on their largest free axis — GSPMD all-gathers params at use
+    and reduce-scatters grads, so per-chip state HBM drops by the DP degree
+    (the lever that lets the Large config train on small-HBM chips).
 """
 
 from __future__ import annotations
@@ -55,44 +59,85 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_partition_specs(params, tensor_parallel: bool = True):
-    """PartitionSpec pytree for a param tree; replicated unless a TP rule hits."""
+# Leaves below this element count stay replicated under FSDP: gathering a
+# LayerNorm scale or a bias per step costs more latency than its bytes.
+_FSDP_MIN_SIZE = 2 ** 15
+
+
+def _augment_fsdp(spec: P, shape, data_size: int,
+                  min_size: int = _FSDP_MIN_SIZE) -> P:
+    """Shard the largest still-replicated, divisible axis over 'data'.
+
+    'Largest axis' naturally avoids scan-stacked layer axes (a 12-long
+    leading axis never beats a 768/3072 feature axis) and skips axes whose
+    dim is not divisible by the DP degree (e.g. the 50265 vocab rows — the
+    768 embedding columns shard instead)."""
+    if int(np.prod(shape)) < min_size:
+        return spec
+    full = list(spec) + [None] * (len(shape) - len(spec))
+    free = [i for i, ax in enumerate(full)
+            if ax is None and shape[i] % data_size == 0]
+    if not free:
+        return spec
+    full[max(free, key=lambda i: shape[i])] = "data"
+    return P(*full)
+
+
+def param_partition_specs(params, tensor_parallel: bool = True,
+                          fsdp_size: int = 0,
+                          fsdp_min_size: int = _FSDP_MIN_SIZE):
+    """PartitionSpec pytree for a param tree. TP rules first (replicated
+    unless a rule hits); with ``fsdp_size`` > 1 every large leaf is then
+    additionally sharded over 'data' (ZeRO-3: GSPMD inserts the per-use
+    all-gather and the grad reduce-scatter automatically)."""
 
     def spec_for(path, leaf):
-        if not tensor_parallel:
-            return P()
-        s = _path_str(path)
-        for pattern, spec in _TP_RULES:
-            if re.match(pattern, s):
-                if leaf.ndim == len(spec) + 1:
-                    # scan-stacked layer params carry a leading layer axis
-                    return P(None, *spec)
-                if len(spec) <= leaf.ndim:
-                    return spec
-                return P()
-        return P()
+        spec = P()
+        if tensor_parallel:
+            s = _path_str(path)
+            for pattern, rule in _TP_RULES:
+                if re.match(pattern, s):
+                    if leaf.ndim == len(rule) + 1:
+                        # scan-stacked layer params carry a leading layer axis
+                        spec = P(None, *rule)
+                    elif len(rule) <= leaf.ndim:
+                        spec = rule
+                    break
+        if fsdp_size > 1 and hasattr(leaf, "shape"):
+            spec = _augment_fsdp(spec, leaf.shape, fsdp_size, fsdp_min_size)
+        return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def param_shardings(mesh: Mesh, params, tensor_parallel: Optional[bool] = None):
+def param_shardings(mesh: Mesh, params, tensor_parallel: Optional[bool] = None,
+                    fsdp: bool = False, fsdp_min_size: int = _FSDP_MIN_SIZE):
     if tensor_parallel is None:
         tensor_parallel = mesh.shape.get("model", 1) > 1
-    specs = param_partition_specs(params, tensor_parallel)
+    specs = param_partition_specs(
+        params, tensor_parallel,
+        fsdp_size=mesh.shape.get("data", 1) if fsdp else 0,
+        fsdp_min_size=fsdp_min_size)
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 
 def opt_state_shardings(mesh: Mesh, opt_state, params,
-                        tensor_parallel: Optional[bool] = None):
+                        tensor_parallel: Optional[bool] = None,
+                        fsdp: bool = False,
+                        fsdp_min_size: int = _FSDP_MIN_SIZE):
     """Sharding pytree for an optimizer state: leaves that mirror a param
     (Adam m/v moments, MultiSteps grad accumulators — identified by param
     path suffix + identical shape) take that param's PartitionSpec; scalars
     and counters are replicated. Without this, TP mode replicates the Adam
     moments (2x params) on every model-axis device, defeating the memory
-    point of sharding the params."""
+    point of sharding the params (and FSDP mode would replicate ZeRO's main
+    target — the moments are 2/3 of the f32 state)."""
     if tensor_parallel is None:
         tensor_parallel = mesh.shape.get("model", 1) > 1
-    specs = param_partition_specs(params, tensor_parallel)
+    specs = param_partition_specs(
+        params, tensor_parallel,
+        fsdp_size=mesh.shape.get("data", 1) if fsdp else 0,
+        fsdp_min_size=fsdp_min_size)
     by_path = {}
     for (path, leaf), (_, spec) in zip(
             jax.tree_util.tree_leaves_with_path(params),

@@ -87,6 +87,10 @@ def parse_args(argv=None):
     p.add_argument("--vocab_dir", type=str, default=None)
     p.add_argument("--local_negatives", type=str2bool, default=False)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--fsdp", type=str2bool, default=False,
+                   help="ZeRO-3: shard params + Adam moments over the 'data' "
+                        "axis (per-chip state HBM / DP degree; GSPMD inserts "
+                        "the all-gathers and grad reduce-scatters)")
     p.add_argument("--resume", type=str2bool, default=False)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--scan_layers", type=str2bool, default=False,
@@ -195,12 +199,13 @@ def main(argv=None):
 
     # shard: params per partition rules, opt state mirrors the params (Adam
     # moments follow their param's spec; counters replicated), batch on 'data'
-    p_shardings = param_shardings(mesh, state.params)
+    p_shardings = param_shardings(mesh, state.params, fsdp=args.fsdp)
     state = state.replace(
         params=jax.device_put(state.params, p_shardings),
         opt_state=jax.device_put(
             state.opt_state,
-            opt_state_shardings(mesh, state.opt_state, state.params)),
+            opt_state_shardings(mesh, state.opt_state, state.params,
+                                fsdp=args.fsdp)),
     )
 
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
