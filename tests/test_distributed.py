@@ -98,6 +98,44 @@ from synergy_tpu.train import checkpoint as ckpt
 with mesh:
     ckpt.save_state({ckpt_dir!r}, "base_prompt", new_state)
 print("SAVED", flush=True)
+
+# 5) FSDP across the process boundary: the 'data' axis spans both
+# processes, so the ZeRO all-gathers + grad reduce-scatters are real
+# cross-process collectives. Each process owns only its local param
+# shards (placed via make_array_from_callback from the identical
+# deterministic init); the step loss must match the replicated step 2.
+from synergy_tpu.parallel.mesh import opt_state_shardings, param_shardings
+
+def put_tree(tree, shardings):
+    def put(x, sh):
+        x = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+fs_kw = dict(fsdp=True, fsdp_min_size=128)
+state_f = create_train_state(
+    jax.random.PRNGKey(0), model, tcfg,
+    {{k: jnp.asarray(v) for k, v in gb.items()}})
+with mesh:
+    state_f = state_f.replace(
+        params=put_tree(state_f.params,
+                        param_shardings(mesh, state_f.params, **fs_kw)),
+        opt_state=put_tree(
+            state_f.opt_state,
+            opt_state_shardings(mesh, state_f.opt_state, state_f.params,
+                                **fs_kw)))
+    local_bytes = sum(
+        s.data.nbytes
+        for leaf in jax.tree_util.tree_leaves(state_f.params)
+        if hasattr(leaf, "addressable_shards")
+        for s in leaf.addressable_shards)
+    full_bytes = 2 * sum(  # 2 local devices, replicated = full per device
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(state_f.params)
+        if hasattr(leaf, "nbytes"))
+    assert local_bytes < full_bytes, (local_bytes, full_bytes)
+    new_f, mf = jax.jit(make_train_step(model, tcfg))(state_f, sharded)
+print("FSDPLOSS", float(mf["loss"]), flush=True)
 """
 
 
@@ -135,6 +173,13 @@ def test_two_process_collectives_and_train_step(tmp_path):
                    .split()[1]) for out in outs]
     assert abs(evals[0] - evals[1]) < 1e-6
     assert all("SAVED" in out for out in outs)
+    # FSDP step over the cross-process 'data' axis reproduces the
+    # replicated-DP loss (same params, same batch)
+    fsdp_losses = [float(next(l for l in out.splitlines()
+                              if l.startswith("FSDPLOSS")).split()[1])
+                   for out in outs]
+    assert abs(fsdp_losses[0] - fsdp_losses[1]) < 1e-6
+    assert abs(fsdp_losses[0] - losses[0]) < 1e-4
 
     # and it matches a single-process run over the same global batch (the
     # pytest process has 8 virtual devices; use 4 to mirror the mesh)

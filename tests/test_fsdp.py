@@ -146,3 +146,55 @@ def test_fsdp_step_matches_replicated_dp():
                     mirrored += 1
                 break
     assert mirrored >= 4, mirrored
+
+
+@pytest.mark.slow
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """Resume keeps ZeRO placement: an Orbax save of FSDP-sharded state
+    restores bit-identically into an FSDP-sharded blank template, and the
+    restored leaves keep their NamedSharding (pretrain.py restores AFTER
+    device_put-ing the sharded blank state, so this is the real resume path)."""
+    from synergy_tpu.train import checkpoint as ckpt
+
+    cfg = CLIPConfig.tiny()
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=1, learning_rate=1e-3)
+    model = TriCLIP(cfg)
+    rng = np.random.default_rng(1)
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (8, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32),
+        "input_ids": jnp.asarray(
+            rng.integers(4, cfg.text.vocab_size, (8, 8)), jnp.int32),
+        "attention_mask": jnp.ones((8, 8), jnp.int32),
+        "input_values": jnp.asarray(rng.standard_normal(
+            (8, cfg.audio.max_length, cfg.audio.num_mel_bins)), jnp.float32),
+    }
+    mesh = create_mesh((4, 2))
+    kw = dict(fsdp=True, fsdp_min_size=128)
+
+    def place(state):
+        return state.replace(
+            params=jax.device_put(
+                state.params, param_shardings(mesh, state.params, **kw)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_shardings(mesh, state.opt_state, state.params, **kw)))
+
+    state = place(create_train_state(jax.random.PRNGKey(0), model, tcfg, batch))
+    with mesh:
+        state, _ = jax.jit(make_train_step(model, tcfg))(
+            state, {k: jax.device_put(v, batch_sharding(mesh))
+                    for k, v in batch.items()})
+    ckpt.save_state(str(tmp_path), "base_prompt", state)
+
+    blank = place(create_train_state(jax.random.PRNGKey(7), model, tcfg, batch))
+    restored = ckpt.restore_state(str(tmp_path), "base_prompt", blank)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))),
+        jax.device_get(state.params), jax.device_get(restored.params))
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    sharded = [l for l in jax.tree_util.tree_leaves(restored.params)
+               if hasattr(l, "sharding")
+               and any(ax is not None for ax in l.sharding.spec)]
+    assert sharded, "restore dropped the FSDP shardings"
