@@ -74,6 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--out_dir", type=str, default="inference")
     p.add_argument("--deploy_samples", type=int, default=16)
     p.add_argument("--tiny", type=str2bool, default=False)
+    p.add_argument("--tb_dir", type=str, default=None,
+                   help="TensorBoard scalar events (loss + MSE/SSIM or acc "
+                        "per logged epoch) via synergy_tpu.tensorboard")
     p.add_argument("--dtype", type=str, default="float32")
     return p.parse_args(argv)
 
@@ -263,6 +266,12 @@ def main(argv=None):
 
     step = jax.jit(step)
 
+    tb = None
+    if args.tb_dir:
+        from synergy_tpu.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tb_dir)
+
     def log_epoch(e, loss, m1, m2):
         if (e + 1) % max(1, args.epochs // 10) == 0:
             if args.MM == "txt":
@@ -272,6 +281,14 @@ def main(argv=None):
                 print(f"[mmr] epoch {e + 1}/{args.epochs} "
                       f"loss={float(loss):.4f} MSE={float(m1):.4f} "
                       f"SSIM={1 - float(m2):.4f}")
+            if tb is not None:
+                tb.add_scalar(f"mmr_{args.MM}/loss", float(loss), e + 1)
+                if args.MM == "txt":
+                    tb.add_scalar(f"mmr_{args.MM}/acc", float(m1), e + 1)
+                else:
+                    tb.add_scalar(f"mmr_{args.MM}/mse", float(m1), e + 1)
+                    tb.add_scalar(f"mmr_{args.MM}/ssim", 1 - float(m2), e + 1)
+                tb.flush()
 
     t0 = time.time()
     t_first = None
@@ -304,6 +321,8 @@ def main(argv=None):
     steady = (total - t_first) / max(1, n_steps - 1)
     print(f"[mmr] trained {args.epochs} epochs ({n_steps} steps) in {total:.1f}s "
           f"(compile+first epoch {t_first:.1f}s, then {steady * 1e3:.0f} ms/step)")
+    if tb is not None:
+        tb.close()
 
     # save wrapper (MRL contract, main_MMR.py:30-37)
     out_base = os.path.join(args.out_dir, f"{model_sz}_{text_des}", args.MM)

@@ -105,6 +105,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_every", type=int, default=None,
                    help="also checkpoint every N epochs (recovery story; the "
                         "reference only saved on best validation loss)")
+    p.add_argument("--tb_dir", type=str, default=None,
+                   help="write TensorBoard scalar events (per-epoch train/"
+                        "val losses + throughput) via the dependency-free "
+                        "writer in synergy_tpu.tensorboard")
     p.add_argument("--log_file", type=str, default=None,
                    help="append per-epoch metrics as JSONL here")
     p.add_argument("--preempt_save", type=str2bool, default=True,
@@ -250,6 +254,12 @@ def main(argv=None):
         return {"epoch": int(next_epoch), "min_loss": float(min_loss),
                 "aug_key": np.asarray(aug_key).tolist()}
 
+    tb = None
+    if args.tb_dir and is_primary():
+        from synergy_tpu.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tb_dir)
+
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
@@ -287,6 +297,8 @@ def main(argv=None):
                                _meta(next_epoch=epoch))
                 print(f"[pretrain] preempted at epoch {epoch + 1} step "
                       f"{int(state.step)}; resume with --resume true")
+                if tb is not None:
+                    tb.close()
                 return state
             if profiling:
                 jax.tree_util.tree_map(
@@ -342,6 +354,13 @@ def main(argv=None):
                     rec["val_loss"] = val_loss
                 with open(args.log_file, "a") as f:
                     f.write(_json.dumps(rec) + "\n")
+            if tb is not None:
+                for k in ("loss", "IT", "TA", "AI"):
+                    tb.add_scalar(f"train/{k}", means[k], epoch + 1)
+                tb.add_scalar("perf/triplets_per_sec", tps, epoch + 1)
+                if val_metrics:
+                    tb.add_scalar("val/loss", val_loss, epoch + 1)
+                tb.flush()
 
         ckpt.wait_for_saves()  # barrier: files complete before downstream use
 
@@ -368,6 +387,10 @@ def main(argv=None):
         if test_metrics:
             test_loss = float(np.mean([np.asarray(m["loss"]) for m in test_metrics]))
             print(f"[pretrain] test_loss={test_loss:.4f}")
+            if tb is not None:
+                tb.add_scalar("test/loss", test_loss, args.epochs)
+    if tb is not None:
+        tb.close()
     return state
 
 
