@@ -198,3 +198,71 @@ def test_fsdp_checkpoint_roundtrip(tmp_path):
                if hasattr(l, "sharding")
                and any(ax is not None for ax in l.sharding.spec)]
     assert sharded, "restore dropped the FSDP shardings"
+
+
+@pytest.mark.slow
+def test_elastic_restore_across_mesh_shapes(tmp_path):
+    """Pod-reshape resume: a checkpoint saved under one mesh/sharding config
+    restores bit-identically into a DIFFERENT one (the blank template carries
+    the new shardings; Orbax reshards on read). Covers the two real
+    migrations — scaling DP out (dp=4 tp=2 FSDP -> dp=8 tp=1 replicated) and
+    trading DP for TP (-> dp=2 tp=4 FSDP) — and proves the restored state
+    trains: one step on the new mesh with a finite loss."""
+    from synergy_tpu.train import checkpoint as ckpt
+
+    cfg = CLIPConfig.tiny()
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=1, learning_rate=1e-3)
+    model = TriCLIP(cfg)
+    rng = np.random.default_rng(2)
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal(
+            (8, 3, cfg.vision.image_size, cfg.vision.image_size)), jnp.float32),
+        "input_ids": jnp.asarray(
+            rng.integers(4, cfg.text.vocab_size, (8, 8)), jnp.int32),
+        "attention_mask": jnp.ones((8, 8), jnp.int32),
+        "input_values": jnp.asarray(rng.standard_normal(
+            (8, cfg.audio.max_length, cfg.audio.num_mel_bins)), jnp.float32),
+    }
+
+    def place(state, mesh, **kw):
+        return state.replace(
+            params=jax.device_put(
+                state.params, param_shardings(mesh, state.params, **kw)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_shardings(mesh, state.opt_state, state.params, **kw)))
+
+    # train one step on the SOURCE mesh so moments are non-trivial, then save
+    src_mesh = create_mesh((4, 2))
+    src_kw = dict(fsdp=True, fsdp_min_size=128)
+    state = place(create_train_state(jax.random.PRNGKey(0), model, tcfg, batch),
+                  src_mesh, **src_kw)
+    with src_mesh:
+        state, _ = jax.jit(make_train_step(model, tcfg))(
+            state, {k: jax.device_put(v, batch_sharding(src_mesh))
+                    for k, v in batch.items()})
+    ckpt.save_state(str(tmp_path), "base_prompt", state)
+    want = jax.device_get(state.params)
+
+    for shape, kw in (((8, 1), {}), ((2, 4), dict(fsdp=True,
+                                                  fsdp_min_size=128))):
+        dst_mesh = create_mesh(shape)
+        blank = place(create_train_state(jax.random.PRNGKey(9), model, tcfg,
+                                         batch), dst_mesh, **kw)
+        restored = ckpt.restore_state(str(tmp_path), "base_prompt", blank)
+        got = jax.device_get(restored.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(
+                np.asarray(a, np.float32) - np.asarray(b, np.float32)))),
+            want, got)
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0, shape
+        assert int(restored.step) == 1
+        # the restored leaves live on the DESTINATION mesh with its specs
+        leaf = restored.params["text"]["encoder"]["layer_0"]["mlp"]["fc1"]["kernel"]
+        assert leaf.sharding.mesh.shape == dict(
+            zip(("data", "model"), shape)), shape
+        with dst_mesh:
+            restored, metrics = jax.jit(make_train_step(model, tcfg))(
+                restored, {k: jax.device_put(v, batch_sharding(dst_mesh))
+                           for k, v in batch.items()})
+        assert np.isfinite(float(metrics["loss"])), shape
