@@ -82,6 +82,67 @@ def test_augmentations_semantics(rng):
     np.testing.assert_array_equal(out, data)  # apply_rate=0 is identity
 
 
+def _stretch_loop_reference(data, rate, n_fft=2048, hop=512):
+    """Frame-by-frame phase vocoder (the original implementation) kept as the
+    oracle for the vectorized stretch_data."""
+    window = np.hanning(n_fft)
+    n_frames = 1 + (len(data) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    stft = np.fft.rfft(data[idx] * window, axis=-1).T
+    time_steps = np.arange(0, n_frames, rate)
+    phi_advance = np.linspace(0, np.pi * hop, stft.shape[0])
+    stretched = np.zeros((stft.shape[0], len(time_steps)), dtype=complex)
+    phase_acc = np.angle(stft[:, 0])
+    for t, step in enumerate(time_steps):
+        i0 = int(step)
+        i1 = min(i0 + 1, n_frames - 1)
+        frac = step - i0
+        mag = (1 - frac) * np.abs(stft[:, i0]) + frac * np.abs(stft[:, i1])
+        stretched[:, t] = mag * np.exp(1j * phase_acc)
+        dphase = np.angle(stft[:, i1]) - np.angle(stft[:, i0]) - phi_advance
+        dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+        phase_acc += phi_advance + dphase
+    frames = np.fft.irfft(stretched.T, n=n_fft, axis=-1) * window
+    out_len = n_fft + hop * (frames.shape[0] - 1)
+    out = np.zeros(out_len)
+    norm = np.zeros(out_len)
+    for t in range(frames.shape[0]):
+        out[t * hop: t * hop + n_fft] += frames[t]
+        norm[t * hop: t * hop + n_fft] += window ** 2
+    out /= np.maximum(norm, 1e-8)
+    return out
+
+
+def test_stretch_vectorization_matches_loop_reference(rng):
+    """The vectorized vocoder (cumsum phase accumulator + strided overlap-add)
+    must reproduce the sequential loop implementation: f64 to float rounding,
+    f32 to the precision class librosa itself delivers on float32 input."""
+    data = rng.standard_normal(40960)
+    for rate in (0.5, 0.85, 1.3):
+        ref = _stretch_loop_reference(data, rate)
+        got64 = A.stretch_data(data, rate=rate)
+        assert got64.shape == ref.shape
+        np.testing.assert_allclose(got64, ref, atol=1e-6)
+        got32 = A.stretch_data(data.astype(np.float32), rate=rate)
+        assert got32.dtype == np.float32
+        assert got32.shape == ref.shape
+        rel_rms = (np.sqrt(np.mean((got32 - ref) ** 2))
+                   / np.sqrt(np.mean(ref ** 2)))
+        assert rel_rms < 0.05, rel_rms
+
+
+def test_augment_preserves_float32(rng):
+    """The pipeline wave is float32; an f64 upcast anywhere in the aug stack
+    silently doubles every downstream host cost (bench_pipeline.py)."""
+    data = rng.standard_normal(32000).astype(np.float32)
+    assert A.add_white_noise(data, rng=np.random.default_rng(0)).dtype == np.float32
+    assert A.stretch_data(data, rate=0.8).dtype == np.float32
+    for i in range(8):
+        out = A.audio_augment(data, apply_rate=1.0,
+                              rng=np.random.default_rng(i))
+        assert out.dtype == np.float32
+
+
 def test_resample(rng):
     t = np.arange(22050 * 2) / 22050.0
     wave = np.sin(2 * np.pi * 440 * t).astype(np.float32)
