@@ -29,6 +29,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import signal
 import threading
@@ -38,6 +39,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from synergy_tpu.configs import CLIPConfig, TrainConfig
 from synergy_tpu.data.pipeline import (
@@ -73,6 +75,14 @@ def parse_args(argv=None):
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=1.0)
     p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--lr_schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="'constant' is the reference regime "
+                        "(main_pretraining.py:139); 'cosine' adds linear "
+                        "warmup over --warmup_steps optimizer updates then "
+                        "cosine decay to 0 over the run")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear-warmup optimizer updates (cosine schedule)")
     # ours
     p.add_argument("--train_csv", type=str, default="vgg_sound_train_captioned.csv")
     p.add_argument("--valid_csv", type=str, default="vgg_sound_test_captioned.csv")
@@ -186,6 +196,23 @@ def main(argv=None):
     valid_loader = TriModalLoader(valid_ds, tokenizer, batch // n_proc,
                                   args.seq_max_length, shuffle=False,
                                   seed=args.SEED, shard=shard)
+
+    lr_sched = None
+    if args.lr_schedule == "cosine":
+        # schedule counts OPTIMIZER UPDATES: under MultiSteps the inner
+        # transformation (and its schedule) steps once per accum_steps
+        # microbatches, so decay spans the applied-update horizon
+        steps_per_epoch = len(train_loader)
+        if args.steps_per_epoch:
+            steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+        total_applies = max(1, args.epochs * steps_per_epoch // accum)
+        warmup = min(args.warmup_steps, max(0, total_applies - 1))
+        lr_sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.learning_rate,
+            warmup_steps=warmup, decay_steps=total_applies, end_value=0.0)
+        train_cfg = dataclasses.replace(train_cfg, learning_rate=lr_sched)
+        print(f"[pretrain] cosine lr: warmup {warmup} of "
+              f"{total_applies} optimizer updates, peak {args.learning_rate}")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = TriCLIP(clip_cfg, dtype=dtype, scan_layers=args.scan_layers)
@@ -310,10 +337,13 @@ def main(argv=None):
                      for k in metrics_list[0]}
             dt = time.time() - t0
             tps = len(metrics_list) * batch / dt
+            lr_note = ""
+            if lr_sched is not None:
+                lr_note = f" lr={float(lr_sched(int(state.step) // accum)):.2e}"
             print(f"[pretrain] epoch {epoch + 1}/{args.epochs} "
                   f"loss={means['loss']:.4f} IT={means['IT']:.4f} "
                   f"TA={means['TA']:.4f} AI={means['AI']:.4f} "
-                  f"({dt:.1f}s, {tps:.0f} triplets/s)")
+                  f"({dt:.1f}s, {tps:.0f} triplets/s){lr_note}")
 
             # validation (reference main_pretraining.py:192-227)
             val_metrics = []

@@ -188,6 +188,51 @@ def test_pretrain_cli_synthetic(tmp_path):
     assert ckpt.latest_step(str(tmp_path / "ck"), "base_prompt") is not None
 
 
+def test_lr_schedule_counts_optimizer_updates(tiny_setup):
+    """A callable learning rate routes through the plain optax path (the
+    fused apply has no schedule hook) and counts APPLIED updates: with a
+    schedule that is 0 at update 0, the first apply must leave the params
+    bit-identical (AdamW update = lr * m_hat/..., wd=0), and a later apply
+    at nonzero lr must move them."""
+    import optax
+
+    cfg, _, model, batch, _ = tiny_setup
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=1e-3, warmup_steps=2, decay_steps=10)
+    tcfg = TrainConfig(per_device_batch=1, accum_steps=1, learning_rate=sched)
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch)
+    assert getattr(state.tx, "fused_apply", None) is None
+    step = jax.jit(make_train_step(model, tcfg))
+    before = jax.device_get(state.params)
+    state, _ = step(state, batch)
+    after0 = jax.device_get(state.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), before, after0)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0  # lr(0) == 0
+    state, _ = step(state, batch)
+    after1 = jax.device_get(state.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), after0, after1)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0  # lr(1) == peak/2
+
+
+def test_pretrain_cli_cosine_schedule(tmp_path, capsys):
+    """--lr_schedule cosine drives the CLI end-to-end and reports the lr."""
+    from synergy_tpu.train.pretrain import main
+
+    state = main([
+        "--tiny", "true", "--synthetic", "true", "--synthetic_size", "16",
+        "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--accum_steps", "1", "--ckpt_dir", str(tmp_path / "ck"),
+        "--dtype", "float32", "--lr_schedule", "cosine",
+        "--warmup_steps", "1",
+    ])
+    assert int(state.step) >= 1
+    out = capsys.readouterr().out
+    assert "cosine lr: warmup 1 of 2 optimizer updates" in out
+    assert " lr=" in out
+
+
 def test_opt_state_sharding_mirrors_params(tiny_setup):
     """TP mode must shard the Adam moments (and MultiSteps accumulators) with
     the same specs as their params — replicating them multiplies optimizer
