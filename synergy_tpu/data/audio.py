@@ -19,6 +19,7 @@ Replaces two native dependency surfaces of the reference:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -209,9 +210,23 @@ def stretch_data(data: np.ndarray, sr: int = SAMPLE_RATE, rate: float = 0.75,
     frame-by-frame Python loops made this the host pipeline's single largest
     per-sample cost (tools/bench_pipeline.py: ~21 ms of a ~32 ms triplet).
     Math runs in the wave's own precision — float32 in the pipeline, matching
-    librosa, whose STFT yields complex64 for float32 input."""
+    librosa, whose STFT yields complex64 for float32 input.
+
+    At the default n_fft/hop a float32 wave routes to the C++ front-end's
+    GIL-free implementation of the same algorithm (double internals;
+    parity-tested in tests/test_runtime.py); set SYNERGY_NATIVE_STRETCH=off
+    to force this numpy path."""
     if len(data) < n_fft:
         return data
+    if (n_fft == 2048 and hop == 512 and data.dtype == np.float32
+            and os.environ.get("SYNERGY_NATIVE_STRETCH", "on") != "off"):
+        from synergy_tpu.runtime import get_audio_frontend
+
+        fe = get_audio_frontend()
+        if fe is not None:
+            out = fe.stretch(data, rate)
+            if out is not None:
+                return out
     dtype = np.dtype(data.dtype if np.issubdtype(data.dtype, np.floating)
                      else np.float64)
     window = np.hanning(n_fft).astype(dtype)

@@ -61,6 +61,10 @@ class AudioFrontend:
         lib.af_fbank.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32]
+        lib.af_stretch.restype = ctypes.c_int32
+        lib.af_stretch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
         self._lib = lib
         self._handle = lib.af_create()
 
@@ -99,6 +103,22 @@ class AudioFrontend:
         self._lib.af_fbank(self._handle, self._fptr(wave), len(wave),
                            self._fptr(out), self.MAX_FRAMES, int(normalize))
         return out
+
+    def stretch(self, wave: np.ndarray, rate: float) -> Optional[np.ndarray]:
+        """Phase-vocoder time stretch (n_fft=2048, hop=512) — the augment
+        stack's hot op, GIL-free. Same algorithm as data/audio.stretch_data
+        (double internals, so it tracks that function's f64 reference).
+        Returns None when the input is shorter than one FFT frame (callers
+        keep the input, matching the numpy path)."""
+        wave = np.ascontiguousarray(wave, np.float32)
+        n_frames = 1 + max(0, (len(wave) - 2048)) // 512
+        max_out = 2048 + 512 * int(np.ceil(n_frames / rate) + 1)
+        out = np.empty(max_out, np.float32)
+        n = self._lib.af_stretch(self._handle, self._fptr(wave), len(wave),
+                                 float(rate), self._fptr(out), max_out)
+        if n < 0:
+            return None
+        return out[:n].copy()
 
     def load_for_ast(self, path: str) -> np.ndarray:
         """WAV file -> normalized (1024, 128) fbank at 16 kHz, end to end."""

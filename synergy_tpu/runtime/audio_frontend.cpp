@@ -33,6 +33,8 @@ constexpr double kPreemph = 0.97;
 constexpr double kMelFloor = 1.192092955078125e-07;
 constexpr double kMean = -4.2677393;
 constexpr double kStd = 4.5689974;
+constexpr int kVocFft = 2048;
+constexpr int kVocHop = 512;
 
 double hz_to_mel(double f) { return 1127.0 * std::log(1.0 + f / 700.0); }
 
@@ -44,6 +46,10 @@ struct Frontend {
   std::vector<std::vector<double>> mel_vals;  // 257 x run_len
   std::vector<std::complex<double>> tw;   // FFT twiddles
   std::vector<int> bitrev;
+  // phase-vocoder tables (n_fft = 2048)
+  std::vector<std::complex<double>> tw2048;
+  std::vector<int> bitrev2048;
+  std::vector<double> window2048;         // numpy.hanning(2048)
 
   Frontend() {
     window.resize(kFrameLen);
@@ -93,6 +99,40 @@ struct Frontend {
     tw.resize(kFft / 2);
     for (int i = 0; i < kFft / 2; ++i) {
       tw[i] = std::polar(1.0, -2.0 * M_PI * i / kFft);
+    }
+    // 2048-pt tables for the phase vocoder
+    bitrev2048.resize(kVocFft);
+    for (int i = 0; i < kVocFft; ++i) {
+      int r = 0;
+      for (int j = 0; j < 11; ++j) r |= ((i >> j) & 1) << (10 - j);
+      bitrev2048[i] = r;
+    }
+    tw2048.resize(kVocFft / 2);
+    for (int i = 0; i < kVocFft / 2; ++i) {
+      tw2048[i] = std::polar(1.0, -2.0 * M_PI * i / kVocFft);
+    }
+    window2048.resize(kVocFft);
+    for (int i = 0; i < kVocFft; ++i) {
+      window2048[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (kVocFft - 1));
+    }
+  }
+
+  void fft2048(std::complex<double>* a) const {
+    for (int i = 0; i < kVocFft; ++i) {
+      int r = bitrev2048[i];
+      if (i < r) std::swap(a[i], a[r]);
+    }
+    for (int len = 2; len <= kVocFft; len <<= 1) {
+      int half = len >> 1;
+      int step = kVocFft / len;
+      for (int i = 0; i < kVocFft; i += len) {
+        for (int j = 0; j < half; ++j) {
+          auto u = a[i + j];
+          auto v = a[i + j + half] * tw2048[j * step];
+          a[i + j] = u + v;
+          a[i + j + half] = u - v;
+        }
+      }
     }
   }
 
@@ -299,6 +339,114 @@ void af_fbank(void* h, const float* wave, int32_t n, float* out,
       out[i] = static_cast<float>((out[i] - kMean) / (2.0 * kStd));
     }
   }
+}
+
+// Phase-vocoder time stretch (n_fft=2048, hop=512): the same algorithm as
+// synergy_tpu/data/audio.py stretch_data (STFT -> magnitude interpolation +
+// phase accumulation -> overlap-add iSTFT), in double internally. Real
+// frames are packed in PAIRS into one complex FFT (z = x1 + i*x2) both
+// directions, halving FFT work. Returns the output sample count (<= max_out)
+// or n_in when n_in < 2048 (caller keeps the input, like the numpy path).
+int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
+                   float* out, int32_t max_out) {
+  Frontend* fe = as_fe(h);
+  if (n_in < kVocFft || rate <= 0.0) return -1;
+  const int bins = kVocFft / 2 + 1;
+  const int n_frames = 1 + (n_in - kVocFft) / kVocHop;
+  const double* w = fe->window2048.data();
+
+  // forward STFT: mag/phase per (frame, bin), frames paired per FFT
+  std::vector<double> mag(size_t(n_frames) * bins);
+  std::vector<double> ang(size_t(n_frames) * bins);
+  std::vector<std::complex<double>> z(kVocFft);
+  for (int t0 = 0; t0 < n_frames; t0 += 2) {
+    const float* s1 = in + int64_t(t0) * kVocHop;
+    const bool pair = (t0 + 1) < n_frames;
+    const float* s2 = pair ? in + int64_t(t0 + 1) * kVocHop : nullptr;
+    for (int i = 0; i < kVocFft; ++i) {
+      z[i] = {s1[i] * w[i], pair ? s2[i] * w[i] : 0.0};
+    }
+    fe->fft2048(z.data());
+    for (int b = 0; b < bins; ++b) {
+      // unpack: X1[b] = (Z[b] + conj(Z[-b]))/2, X2[b] = (Z[b]-conj(Z[-b]))/2i
+      std::complex<double> zb = z[b];
+      std::complex<double> zc = std::conj(z[(kVocFft - b) & (kVocFft - 1)]);
+      std::complex<double> x1 = 0.5 * (zb + zc);
+      mag[size_t(t0) * bins + b] = std::abs(x1);
+      ang[size_t(t0) * bins + b] = std::arg(x1);
+      if (pair) {
+        std::complex<double> x2 =
+            std::complex<double>(0.0, -0.5) * (zb - zc);
+        mag[size_t(t0 + 1) * bins + b] = std::abs(x2);
+        ang[size_t(t0 + 1) * bins + b] = std::arg(x2);
+      }
+    }
+  }
+
+  const int n_steps = static_cast<int>(std::ceil(n_frames / rate));
+  const int64_t out_len64 = kVocFft + int64_t(kVocHop) * (n_steps - 1);
+  if (out_len64 > max_out) return -1;
+  const int64_t out_len = out_len64;
+
+  // phase accumulator per bin; synthesis frames paired per inverse FFT
+  std::vector<double> phase(ang.begin(), ang.begin() + bins);  // frame 0
+  std::vector<double> acc(out_len, 0.0);
+  std::vector<double> norm(out_len, 0.0);
+  std::vector<std::complex<double>> spec1(bins), spec2(bins);
+  auto synth_spec = [&](int step, std::complex<double>* spec) {
+    const double pos = step * rate;
+    const int i0 = static_cast<int>(pos);
+    const int i1 = std::min(i0 + 1, n_frames - 1);
+    const double frac = pos - i0;
+    const double* m0 = mag.data() + size_t(i0) * bins;
+    const double* m1 = mag.data() + size_t(i1) * bins;
+    const double* a0 = ang.data() + size_t(i0) * bins;
+    const double* a1 = ang.data() + size_t(i1) * bins;
+    for (int b = 0; b < bins; ++b) {
+      const double m = (1.0 - frac) * m0[b] + frac * m1[b];
+      spec[b] = std::polar(m, phase[b]);
+      // advance AFTER emitting (phi_advance[b] = pi*hop*b/(bins-1))
+      const double phi = M_PI * kVocHop * b / (bins - 1);
+      double dphase = a1[b] - a0[b] - phi;
+      dphase -= 2.0 * M_PI * std::round(dphase / (2.0 * M_PI));
+      phase[b] += phi + dphase;
+    }
+    // numpy irfft ignores the imaginary parts of the DC and Nyquist bins;
+    // the packed transform would otherwise leak them into the other frame
+    spec[0] = spec[0].real();
+    spec[bins - 1] = spec[bins - 1].real();
+  };
+  for (int t0 = 0; t0 < n_steps; t0 += 2) {
+    const bool pair = (t0 + 1) < n_steps;
+    synth_spec(t0, spec1.data());
+    if (pair) synth_spec(t0 + 1, spec2.data());
+    // pack two real inverse FFTs: Z = S1full + i*S2full, irfft via
+    // ifft(Z) = conj(fft(conj(Z))) / N; x1 = Re, x2 = Im
+    for (int b = 0; b < bins; ++b) {
+      std::complex<double> s2v = pair ? spec2[b] : 0.0;
+      z[b] = std::conj(spec1[b] + std::complex<double>(0.0, 1.0) * s2v);
+      if (b != 0 && b != kVocFft / 2) {
+        z[kVocFft - b] = std::conj(
+            std::conj(spec1[b]) + std::complex<double>(0.0, 1.0) *
+                                      std::conj(s2v));
+      }
+    }
+    fe->fft2048(z.data());
+    // ifft(Z) = conj(fft(conj(Z)))/N: x1 = Re(y)/N, x2 = -Im(y)/N
+    for (int pi = 0; pi < (pair ? 2 : 1); ++pi) {
+      double* dst = acc.data() + int64_t(t0 + pi) * kVocHop;
+      double* nrm = norm.data() + int64_t(t0 + pi) * kVocHop;
+      for (int i = 0; i < kVocFft; ++i) {
+        const double xi = (pi == 0 ? z[i].real() : -z[i].imag()) / kVocFft;
+        dst[i] += xi * w[i];
+        nrm[i] += w[i] * w[i];
+      }
+    }
+  }
+  for (int64_t i = 0; i < out_len; ++i) {
+    out[i] = static_cast<float>(acc[i] / std::max(norm[i], 1e-8));
+  }
+  return static_cast<int32_t>(out_len);
 }
 
 }  // extern "C"

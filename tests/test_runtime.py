@@ -101,3 +101,41 @@ def test_native_speed_vs_python(fe, rng):
     # not a strict race: the 1-CPU box is noisy, so compare best-of-5 with a
     # wide margin; the native path must simply be in the same class
     assert native < python * 3.0
+
+
+def test_stretch_parity_with_f64_reference(fe, rng, monkeypatch):
+    """The native phase vocoder (double internals, paired-real FFTs) must
+    track the numpy float64 implementation to float32-output rounding —
+    far inside the f32 numpy path's own tolerance."""
+    monkeypatch.setenv("SYNERGY_NATIVE_STRETCH", "off")  # numpy reference
+    x = rng.standard_normal(50000).astype(np.float32)
+    for rate in (0.5, 0.85, 1.3):
+        ref = A.stretch_data(x.astype(np.float64), rate=rate)
+        got = fe.stretch(x, rate)
+        assert got is not None and got.dtype == np.float32
+        assert got.shape == ref.shape
+        rel = (np.sqrt(np.mean((got - ref) ** 2))
+               / np.sqrt(np.mean(ref ** 2)))
+        assert rel < 1e-6, (rate, rel)
+    # shorter than one FFT frame: native declines, numpy path returns input
+    assert fe.stretch(x[:1000], 0.8) is None
+    np.testing.assert_array_equal(A.stretch_data(x[:1000], rate=0.8), x[:1000])
+
+
+def test_stretch_data_routes_to_native(fe, rng, monkeypatch):
+    """data/audio.stretch_data picks the native engine for f32 waves at the
+    default geometry (and honors the SYNERGY_NATIVE_STRETCH=off escape)."""
+    x = rng.standard_normal(30000).astype(np.float32)
+    monkeypatch.delenv("SYNERGY_NATIVE_STRETCH", raising=False)
+    routed = A.stretch_data(x, rate=0.8)
+    native = fe.stretch(x, 0.8)
+    np.testing.assert_array_equal(routed, native)
+    monkeypatch.setenv("SYNERGY_NATIVE_STRETCH", "off")
+    numpy_out = A.stretch_data(x, rate=0.8)
+    assert numpy_out.shape == native.shape
+    # engines agree within f32 tolerance but are not bit-identical
+    # (relative: the 1e-8 norm floor blows up the window-tail samples in
+    # both engines identically, dominating any absolute scale)
+    rel = (np.sqrt(np.mean((numpy_out - native) ** 2))
+           / np.sqrt(np.mean(native ** 2)))
+    assert rel < 0.05, rel
