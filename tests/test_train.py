@@ -188,6 +188,7 @@ def test_pretrain_cli_synthetic(tmp_path):
     assert ckpt.latest_step(str(tmp_path / "ck"), "base_prompt") is not None
 
 
+@pytest.mark.slow
 def test_lr_schedule_counts_optimizer_updates(tiny_setup):
     """A callable learning rate routes through the plain optax path (the
     fused apply has no schedule hook) and counts APPLIED updates: with a
@@ -216,6 +217,7 @@ def test_lr_schedule_counts_optimizer_updates(tiny_setup):
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0  # lr(1) == peak/2
 
 
+@pytest.mark.slow
 def test_pretrain_cli_cosine_schedule(tmp_path, capsys):
     """--lr_schedule cosine drives the CLI end-to-end and reports the lr."""
     from synergy_tpu.train.pretrain import main
