@@ -38,7 +38,6 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=None, help="per-chip batch")
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--mode", choices=["train", "infer", "preprocess"],
                    default="train")
     p.add_argument("--size", choices=["base", "large"], default="base")
@@ -143,12 +142,19 @@ def main():
 
     triplets_per_sec = args.steps * batch / dt
     per_chip = triplets_per_sec / n_dev
-    print(json.dumps({
+    record = {
         "metric": "triplets_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "triplets/s",
         "vs_baseline": round(per_chip / 5000.0, 4),
-    }))
+    }
+    if args.mode == "train" and args.size == "base":
+        # roofline context (docs/BENCHMARKS.md): 636 GF trained per Base
+        # triplet; v5e bf16 peak 197 TF/s. The 5k 'baseline' is 16x chip
+        # peak (a >=36-chip aggregate target), so MFU is the honest
+        # single-chip score.
+        record["mfu"] = round(per_chip * 636e9 / 197e12, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
