@@ -332,7 +332,11 @@ def main(argv=None):
                     lambda x: x.block_until_ready(), metrics_list[-1])
                 jax.profiler.stop_trace()
             if not metrics_list:
-                raise RuntimeError("empty training epoch (batch > dataset?)")
+                raise RuntimeError(
+                    f"empty training epoch: dataset has {len(train_ds)} rows "
+                    f"but the global batch is {batch} (drop_last), so no full "
+                    f"batch forms — pass --batch_size <= {len(train_ds)}"
+                    + (" or raise --synthetic_size" if args.synthetic else ""))
             means = {k: float(np.mean([np.asarray(m[k]) for m in metrics_list]))
                      for k in metrics_list[0]}
             dt = time.time() - t0
