@@ -18,6 +18,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
 #include <numeric>
 #include <vector>
 
@@ -50,6 +53,18 @@ struct Frontend {
   std::vector<std::complex<double>> tw2048;
   std::vector<int> bitrev2048;
   std::vector<double> window2048;         // numpy.hanning(2048)
+
+  // resampler polyphase banks, cached per (sr_in, sr_out): the Kaiser
+  // filter design (8k+ bessel evaluations at 22.05k->16k) used to be redone
+  // on EVERY call, and the flat-filter inner loop strode through h by `up`.
+  // bank.phase[q] holds the contiguous taps h[q], h[q+up], ... so each
+  // output sample is one contiguous dot against the input window.
+  struct ResampleBank {
+    int up, down, half, taps;
+    std::vector<std::vector<double>> phase;  // up x ceil(taps/up)
+  };
+  std::mutex bank_mu;
+  std::map<uint64_t, std::shared_ptr<ResampleBank>> banks;
 
   Frontend() {
     window.resize(kFrameLen);
@@ -237,58 +252,81 @@ int32_t af_read_wav(const char* path, float* out, int32_t max_samples,
 }
 
 // Polyphase resampling with a Kaiser-windowed sinc low-pass (soxr/librosa
-// equivalent quality). Returns output length (<= max_out).
-int32_t af_resample(void* /*h*/, const float* in, int32_t n_in, int32_t sr_in,
+// equivalent quality). Returns output length (<= max_out). The filter bank
+// is designed once per (sr_in, sr_out) and cached on the Frontend handle.
+int32_t af_resample(void* h_, const float* in, int32_t n_in, int32_t sr_in,
                     int32_t sr_out, float* out, int32_t max_out) {
   if (sr_in == sr_out) {
     int32_t n = std::min(n_in, max_out);
     std::memcpy(out, in, n * sizeof(float));
     return n;
   }
-  int32_t g = std::gcd(sr_in, sr_out);
-  int32_t up = sr_out / g, down = sr_in / g;
-  // scipy.signal.resample_poly filter design: half length 10*max(up,down),
-  // cutoff 1/max at the upsampled Nyquist, Kaiser beta 5.0, unity DC gain
-  int32_t half = 10 * std::max(up, down);
-  double cutoff = 0.5 / std::max(up, down);
-  double beta = 5.0;
-  auto bessel_i0 = [](double x) {
-    double s = 1.0, t = 1.0;
-    for (int k = 1; k < 32; ++k) {
-      t *= (x / (2.0 * k)) * (x / (2.0 * k));
-      s += t;
-      if (t < 1e-16 * s) break;
-    }
-    return s;
-  };
-  int32_t taps = 2 * half + 1;
-  std::vector<double> h(taps);
-  double i0b = bessel_i0(beta);
-  double sum = 0.0;
-  for (int32_t i = 0; i < taps; ++i) {
-    double t = i - half;
-    double sinc = (t == 0.0) ? 2.0 * cutoff
-                             : std::sin(2.0 * M_PI * cutoff * t) / (M_PI * t);
-    double w = bessel_i0(beta * std::sqrt(std::max(
-                   0.0, 1.0 - (t / half) * (t / half)))) / i0b;
-    h[i] = sinc * w;
-    sum += h[i];
+  Frontend* fe = as_fe(h_);
+  std::shared_ptr<Frontend::ResampleBank> bank;
+  const uint64_t key = (uint64_t(uint32_t(sr_in)) << 32) | uint32_t(sr_out);
+  {
+    std::lock_guard<std::mutex> lock(fe->bank_mu);
+    auto it = fe->banks.find(key);
+    if (it != fe->banks.end()) bank = it->second;
   }
-  for (double& v : h) v *= up / sum;  // firwin scale=True, then *up
+  if (!bank) {
+    bank = std::make_shared<Frontend::ResampleBank>();
+    int32_t g = std::gcd(sr_in, sr_out);
+    int32_t up = sr_out / g, down = sr_in / g;
+    // scipy.signal.resample_poly filter design: half length 10*max(up,down),
+    // cutoff 1/max at the upsampled Nyquist, Kaiser beta 5.0, unity DC gain
+    int32_t half = 10 * std::max(up, down);
+    double cutoff = 0.5 / std::max(up, down);
+    double beta = 5.0;
+    auto bessel_i0 = [](double x) {
+      double s = 1.0, t = 1.0;
+      for (int k = 1; k < 32; ++k) {
+        t *= (x / (2.0 * k)) * (x / (2.0 * k));
+        s += t;
+        if (t < 1e-16 * s) break;
+      }
+      return s;
+    };
+    int32_t taps = 2 * half + 1;
+    std::vector<double> h(taps);
+    double i0b = bessel_i0(beta);
+    double sum = 0.0;
+    for (int32_t i = 0; i < taps; ++i) {
+      double t = i - half;
+      double sinc = (t == 0.0) ? 2.0 * cutoff
+                               : std::sin(2.0 * M_PI * cutoff * t) / (M_PI * t);
+      double w = bessel_i0(beta * std::sqrt(std::max(
+                     0.0, 1.0 - (t / half) * (t / half)))) / i0b;
+      h[i] = sinc * w;
+      sum += h[i];
+    }
+    for (double& v : h) v *= up / sum;  // firwin scale=True, then *up
+    bank->up = up;
+    bank->down = down;
+    bank->half = half;
+    bank->taps = taps;
+    bank->phase.resize(up);
+    for (int32_t q = 0; q < up; ++q) {
+      for (int32_t t = q; t < taps; t += up) bank->phase[q].push_back(h[t]);
+    }
+    std::lock_guard<std::mutex> lock(fe->bank_mu);
+    fe->banks.emplace(key, bank);
+  }
+  const int32_t up = bank->up, down = bank->down, half = bank->half;
   int64_t n_out64 = (int64_t(n_in) * up + down - 1) / down;
   int32_t n_out = static_cast<int32_t>(std::min<int64_t>(n_out64, max_out));
   for (int32_t o = 0; o < n_out; ++o) {
-    // output sample o corresponds to upsampled index o*down
-    int64_t pos = int64_t(o) * down;  // position in upsampled grid
+    // output o sits at pos = o*down on the up-sampled grid; its taps are the
+    // contiguous subfilter phase[q], hitting inputs k_top, k_top-1, ...
+    const int64_t pos = int64_t(o) * down;
+    const int32_t q = static_cast<int32_t>((pos + half) % up);
+    const int64_t k_top = (pos + half - q) / up;
+    const std::vector<double>& ph = bank->phase[q];
+    const int64_t j_lo = std::max<int64_t>(0, k_top - (n_in - 1));
+    const int64_t j_hi = std::min<int64_t>(int64_t(ph.size()) - 1, k_top);
     double acc = 0.0;
-    // upsampled grid: nonzero inputs at multiples of up
-    int64_t k_min = (pos - half + up - 1);
-    k_min = k_min < 0 ? 0 : (k_min + up - 1) / up;
-    int64_t k_max = std::min<int64_t>(n_in - 1, (pos + half) / up);
-    for (int64_t k = k_min; k <= k_max; ++k) {
-      int64_t tap = pos - k * up + half;
-      if (tap >= 0 && tap < taps) acc += in[k] * h[tap];
-    }
+    const float* src = in + k_top;
+    for (int64_t j = j_lo; j <= j_hi; ++j) acc += src[-j] * ph[j];
     out[o] = static_cast<float>(acc);
   }
   return n_out;
