@@ -61,7 +61,10 @@ struct Frontend {
   // output sample is one contiguous dot against the input window.
   struct ResampleBank {
     int up, down, half, taps;
-    std::vector<std::vector<double>> phase;  // up x ceil(taps/up)
+    // float taps (designed in double): the inner dot runs float x float so
+    // the compiler can vectorize; output rounding dominates either way
+    std::vector<std::vector<float>> phase;      // up x ceil(taps/up)
+    std::vector<std::vector<float>> phase_rev;  // reversed: forward-walk dot
   };
   std::mutex bank_mu;
   std::map<uint64_t, std::shared_ptr<ResampleBank>> banks;
@@ -306,8 +309,13 @@ int32_t af_resample(void* h_, const float* in, int32_t n_in, int32_t sr_in,
     bank->half = half;
     bank->taps = taps;
     bank->phase.resize(up);
+    bank->phase_rev.resize(up);
     for (int32_t q = 0; q < up; ++q) {
-      for (int32_t t = q; t < taps; t += up) bank->phase[q].push_back(h[t]);
+      for (int32_t t = q; t < taps; t += up) {
+        bank->phase[q].push_back(static_cast<float>(h[t]));
+      }
+      bank->phase_rev[q].assign(bank->phase[q].rbegin(),
+                                bank->phase[q].rend());
     }
     std::lock_guard<std::mutex> lock(fe->bank_mu);
     fe->banks.emplace(key, bank);
@@ -321,13 +329,21 @@ int32_t af_resample(void* h_, const float* in, int32_t n_in, int32_t sr_in,
     const int64_t pos = int64_t(o) * down;
     const int32_t q = static_cast<int32_t>((pos + half) % up);
     const int64_t k_top = (pos + half - q) / up;
-    const std::vector<double>& ph = bank->phase[q];
+    const std::vector<float>& ph = bank->phase[q];
+    const int64_t len = int64_t(ph.size());
     const int64_t j_lo = std::max<int64_t>(0, k_top - (n_in - 1));
-    const int64_t j_hi = std::min<int64_t>(int64_t(ph.size()) - 1, k_top);
-    double acc = 0.0;
-    const float* src = in + k_top;
-    for (int64_t j = j_lo; j <= j_hi; ++j) acc += src[-j] * ph[j];
-    out[o] = static_cast<float>(acc);
+    const int64_t j_hi = std::min<int64_t>(len - 1, k_top);
+    float acc = 0.0f;
+    if (j_lo == 0 && j_hi == len - 1) {
+      // bulk case: both operands walk forward contiguously
+      const float* src = in + k_top - (len - 1);
+      const float* pr = bank->phase_rev[q].data();
+      for (int64_t j = 0; j < len; ++j) acc += src[j] * pr[j];
+    } else {
+      const float* src = in + k_top;
+      for (int64_t j = j_lo; j <= j_hi; ++j) acc += src[-j] * ph[j];
+    }
+    out[o] = acc;
   }
   return n_out;
 }
