@@ -174,14 +174,21 @@ class TriModalLoader:
 
     def __init__(self, dataset, tokenizer, batch_size: int,
                  seq_max_length: int = 32, shuffle: bool = True,
-                 seed: int = 0, num_workers: int = 8, drop_last: bool = True,
-                 shard: tuple = (0, 1)):
+                 seed: int = 0, num_workers: Optional[int] = None,
+                 drop_last: bool = True, shard: tuple = (0, 1)):
         self.ds = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.seq_max_length = seq_max_length
         self.shuffle = shuffle
         self.seed = seed
+        if num_workers is None:
+            # cap at the visible cores: oversubscribing a small host measures
+            # 30% SLOWER (GIL + scheduler churn, tools/bench_pipeline.py);
+            # a real multi-core loader host still gets the full pool
+            cores = len(os.sched_getaffinity(0)) if hasattr(
+                os, "sched_getaffinity") else (os.cpu_count() or 1)
+            num_workers = max(1, min(8, cores))
         self.num_workers = num_workers
         self.drop_last = drop_last
         # (process_index, process_count): every process shuffles the full
