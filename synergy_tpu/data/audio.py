@@ -185,8 +185,10 @@ def add_white_noise(data: np.ndarray, sr: int = SAMPLE_RATE, rate: float = 0.005
                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
     rng = rng or np.random.default_rng()
     # noise drawn in the wave's own dtype: an f64 draw would silently upcast
-    # the whole float32 pipeline wave, doubling every downstream aug's cost
-    dtype = data.dtype if np.issubdtype(data.dtype, np.floating) else np.float64
+    # the whole float32 pipeline wave, doubling every downstream aug's cost.
+    # standard_normal only supports f32/f64 draws; other dtypes (ints, f16)
+    # keep the old draw-in-f64 + upcast behavior.
+    dtype = data.dtype if data.dtype in (np.float32, np.float64) else np.float64
     return data + np.asarray(rate, dtype) * rng.standard_normal(
         len(data), dtype=dtype)
 

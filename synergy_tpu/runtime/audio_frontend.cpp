@@ -399,8 +399,9 @@ void af_fbank(void* h, const float* wave, int32_t n, float* out,
 // synergy_tpu/data/audio.py stretch_data (STFT -> magnitude interpolation +
 // phase accumulation -> overlap-add iSTFT), in double internally. Real
 // frames are packed in PAIRS into one complex FFT (z = x1 + i*x2) both
-// directions, halving FFT work. Returns the output sample count (<= max_out)
-// or n_in when n_in < 2048 (caller keeps the input, like the numpy path).
+// directions, halving FFT work. Returns the output sample count, or -1 when
+// n_in < one FFT frame / rate <= 0 / max_out too small (the Python wrapper
+// maps -1 to None and callers keep the input, like the numpy path).
 int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
                    float* out, int32_t max_out) {
   Frontend* fe = as_fe(h);

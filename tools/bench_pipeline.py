@@ -124,14 +124,22 @@ def sustained(ds, tokenizer, batch: int, batches: int, workers: int) -> float:
     loader = TriModalLoader(ds, tokenizer, batch_size=batch,
                             num_workers=workers, drop_last=False,
                             shuffle=True, seed=0)
-    done = 0
     it = iter(loader)
     next(it)  # warm caches/threads outside the timed region
+    done = 0
+    epoch = 0
     t0 = time.perf_counter()
-    for b in it:
-        done += b["pixel_rgb"].shape[0]
-        if done >= batches * batch:
-            break
+    while done < batches * batch:  # loop epochs until the request is met
+        for b in it:
+            done += b["pixel_rgb"].shape[0]
+            if done >= batches * batch:
+                break
+        else:
+            epoch += 1
+            loader.set_epoch(epoch)
+            it = iter(loader)
+            continue
+        break
     dt = time.perf_counter() - t0
     return done / dt
 
@@ -177,7 +185,9 @@ def main(argv=None):
             "value": round(best, 1),
             "unit": "triplets/s",
             "stages_ms": stages,
-            "cores": len(os.sched_getaffinity(0)),
+            "cores": (len(os.sched_getaffinity(0))
+                      if hasattr(os, "sched_getaffinity")
+                      else (os.cpu_count() or 1)),
             "chips_fed_per_loader_host": round(best / args.train_rate, 2),
         }))
     finally:
