@@ -410,9 +410,12 @@ int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
   const int n_frames = 1 + (n_in - kVocFft) / kVocHop;
   const double* w = fe->window2048.data();
 
-  // forward STFT: mag/phase per (frame, bin), frames paired per FFT
+  // forward STFT: complex spectrum + magnitude per (frame, bin), frames
+  // paired per FFT. No angles are ever taken: the synthesis phase
+  // accumulator lives as a unit rotor updated by normalized cross-frame
+  // products (below), so atan2/sincos disappear from the whole call.
   std::vector<double> mag(size_t(n_frames) * bins);
-  std::vector<double> ang(size_t(n_frames) * bins);
+  std::vector<std::complex<double>> X(size_t(n_frames) * bins);
   std::vector<std::complex<double>> z(kVocFft);
   for (int t0 = 0; t0 < n_frames; t0 += 2) {
     const float* s1 = in + int64_t(t0) * kVocHop;
@@ -427,13 +430,13 @@ int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
       std::complex<double> zb = z[b];
       std::complex<double> zc = std::conj(z[(kVocFft - b) & (kVocFft - 1)]);
       std::complex<double> x1 = 0.5 * (zb + zc);
+      X[size_t(t0) * bins + b] = x1;
       mag[size_t(t0) * bins + b] = std::abs(x1);
-      ang[size_t(t0) * bins + b] = std::arg(x1);
       if (pair) {
         std::complex<double> x2 =
             std::complex<double>(0.0, -0.5) * (zb - zc);
+        X[size_t(t0 + 1) * bins + b] = x2;
         mag[size_t(t0 + 1) * bins + b] = std::abs(x2);
-        ang[size_t(t0 + 1) * bins + b] = std::arg(x2);
       }
     }
   }
@@ -443,8 +446,20 @@ int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
   if (out_len64 > max_out) return -1;
   const int64_t out_len = out_len64;
 
-  // phase accumulator per bin; synthesis frames paired per inverse FFT
-  std::vector<double> phase(ang.begin(), ang.begin() + bins);  // frame 0
+  // Phase accumulator as a UNIT ROTOR per bin. The classic update is
+  //   phase += phi + wrap(angle(X1) - angle(X0) - phi)
+  // and only exp(i*phase) is ever consumed, so modulo 2*pi the increment is
+  // exactly angle(X1) - angle(X0): the rotor update is the normalized
+  // cross-frame product R *= X1*conj(X0)/|X1*conj(X0)| — no atan2, no
+  // sincos anywhere. (Exception: an exactly-zero bin leaves R unchanged
+  // where numpy's angle(0)=0 convention would rotate; measure-zero for
+  // windowed real audio.) Rotor magnitude drift over hundreds of unit
+  // multiplies is ~1e-13 in double — far below output precision.
+  std::vector<std::complex<double>> rotor(bins);
+  for (int b = 0; b < bins; ++b) {
+    const double m0 = mag[b];
+    rotor[b] = m0 > 0.0 ? X[b] / m0 : std::complex<double>(1.0, 0.0);
+  }
   std::vector<double> acc(out_len, 0.0);
   std::vector<double> norm(out_len, 0.0);
   std::vector<std::complex<double>> spec1(bins), spec2(bins);
@@ -455,16 +470,14 @@ int32_t af_stretch(void* h, const float* in, int32_t n_in, double rate,
     const double frac = pos - i0;
     const double* m0 = mag.data() + size_t(i0) * bins;
     const double* m1 = mag.data() + size_t(i1) * bins;
-    const double* a0 = ang.data() + size_t(i0) * bins;
-    const double* a1 = ang.data() + size_t(i1) * bins;
+    const std::complex<double>* x0 = X.data() + size_t(i0) * bins;
+    const std::complex<double>* x1 = X.data() + size_t(i1) * bins;
     for (int b = 0; b < bins; ++b) {
       const double m = (1.0 - frac) * m0[b] + frac * m1[b];
-      spec[b] = std::polar(m, phase[b]);
-      // advance AFTER emitting (phi_advance[b] = pi*hop*b/(bins-1))
-      const double phi = M_PI * kVocHop * b / (bins - 1);
-      double dphase = a1[b] - a0[b] - phi;
-      dphase -= 2.0 * M_PI * std::round(dphase / (2.0 * M_PI));
-      phase[b] += phi + dphase;
+      spec[b] = m * rotor[b];  // emit BEFORE advancing
+      const std::complex<double> d = x1[b] * std::conj(x0[b]);
+      const double nd = std::abs(d);
+      if (nd > 0.0) rotor[b] *= d / nd;
     }
     // numpy irfft ignores the imaginary parts of the DC and Nyquist bins;
     // the packed transform would otherwise leak them into the other frame
