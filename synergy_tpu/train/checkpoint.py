@@ -127,8 +127,30 @@ def load_meta(ckpt_dir: str, tag: str, step: int) -> Optional[Dict[str, Any]]:
         return json.load(f)
 
 
+def _prune_old_steps(ckpt_dir: str, tag: str, keep: int):
+    """Delete all but the newest ``keep`` step checkpoints (and their meta
+    sidecars). Resume uses the LATEST step and the best-validation towers
+    live in the per-modality export files, so pruning old steps never loses
+    either contract — without it a long run with --checkpoint_every
+    accumulates ~3.6 GB of f32 state per save at Base scale."""
+    import shutil
+
+    path = os.path.join(ckpt_dir, tag, "state")
+    if not os.path.isdir(path):
+        return
+    steps = sorted(int(d) for d in os.listdir(path) if d.isdigit())
+    # keep <= 0 deletes every committed step (the async path prunes to
+    # keep-1 BEFORE scheduling its new save, so keep=1 arrives here as 0)
+    for s in steps[:-keep] if keep > 0 else steps:
+        shutil.rmtree(os.path.join(path, str(s)), ignore_errors=True)
+        meta = os.path.join(ckpt_dir, tag, f"meta_{s}.json")
+        if os.path.exists(meta):
+            os.remove(meta)
+
+
 def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
-               async_save: bool = False, export: bool = True):
+               async_save: bool = False, export: bool = True,
+               keep: Optional[int] = None):
     """Full train state via Orbax (also exports the towers).
 
     Multi-process pods: the Orbax save is a collective with cross-process
@@ -146,6 +168,9 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
     ``export=False`` skips the per-modality export — used by preemption/
     periodic saves so they never overwrite the best-validation towers the
     downstream scripts load (the C12 contract tracks best val loss only).
+
+    ``keep=N`` prunes to the newest N step checkpoints after this save
+    commits (process 0 only; None keeps everything).
     """
     import orbax.checkpoint as ocp
 
@@ -159,6 +184,10 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
             _async_ckptr = ocp.StandardCheckpointer()
             atexit.register(wait_for_saves)
         wait_for_saves()  # one in-flight save at a time (overwrite safety)
+        # prune BEFORE scheduling: every older step is already committed
+        # (the wait above), and the new dest is never a prune candidate
+        if keep is not None and jax.process_index() == 0:
+            _prune_old_steps(ckpt_dir, tag, keep - 1)
         _async_ckptr.save(dest, target, force=True)
         if not export:
             return
@@ -175,6 +204,8 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(dest, target, force=True)
     ckptr.wait_until_finished()
+    if keep is not None and jax.process_index() == 0:
+        _prune_old_steps(ckpt_dir, tag, keep)
     if not export:
         return
     host_params = _host_params(state.params)

@@ -115,6 +115,12 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_every", type=int, default=None,
                    help="also checkpoint every N epochs (recovery story; the "
                         "reference only saved on best validation loss)")
+    p.add_argument("--keep_checkpoints", type=int, default=None,
+                   help="retain only the newest N step checkpoints (each is "
+                        "~3.6 GB of f32 state at Base scale); resume uses "
+                        "the latest step and the best-val tower export is "
+                        "separate, so pruning loses neither. Default: keep "
+                        "all")
     p.add_argument("--tb_dir", type=str, default=None,
                    help="write TensorBoard scalar events (per-epoch train/"
                         "val losses + throughput) via the dependency-free "
@@ -365,7 +371,8 @@ def main(argv=None):
                     # training resumes while Orbax commits + the tower export
                     # writes in the background
                     min_loss = val_loss
-                    ckpt.save_state(args.ckpt_dir, tag, state, async_save=True)
+                    ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
+                                    keep=args.keep_checkpoints)
                     ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                    _meta(next_epoch=epoch + 1))
                     if is_primary():
@@ -376,7 +383,7 @@ def main(argv=None):
                 # stays the best-validation one; --resume picks up whichever
                 # state step is newest (best-val or periodic)
                 ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
-                                export=False)
+                                export=False, keep=args.keep_checkpoints)
                 ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                _meta(next_epoch=epoch + 1))
             if args.log_file and is_primary():
