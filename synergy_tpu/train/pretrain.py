@@ -11,7 +11,10 @@ over all local chips; add ``jax.distributed.initialize()`` for multi-host.
 Extra flags (ours): --train_csv/--valid_csv/--test_csv, --synthetic,
 --ckpt_dir, --vocab_dir, --steps_per_epoch, --local_negatives (reference
 rank-local InfoNCE parity mode), --mesh_model (tensor-parallel axis size),
---resume.
+--fsdp (ZeRO-3 state sharding), --resume, --lr_schedule/--warmup_steps
+(warmup+cosine; constant is the reference default), --checkpoint_every /
+--keep_checkpoints (periodic saves + retention), --tb_dir/--log_file/
+--profile_dir (observability).
 
 Preemption safety (``--preempt_save``, default on): SIGTERM — what a TPU VM
 maintenance event or a batch scheduler delivers — finishes the in-flight
