@@ -62,6 +62,24 @@ def test_cli_shims_discard_rich_returns(monkeypatch):
     assert seen["argv"] == ["--tiny", "true"]
 
 
+def test_cli_module_imports_lazily():
+    """synergy_tpu.cli must not import the trainer/JAX stack at module
+    import: `synergy-port --help` on a cold install should not pay the
+    multi-second flax/optax import cost of modules it never runs."""
+    import subprocess
+
+    code = (
+        "import sys\n"
+        "import synergy_tpu.cli\n"
+        "heavy = [m for m in ('synergy_tpu.train.pretrain', "
+        "'synergy_tpu.serve', 'flax', 'optax') if m in sys.modules]\n"
+        "assert not heavy, heavy\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, cwd=ROOT)
+    assert proc.returncode == 0, proc.stderr
+
+
 def test_version_single_sourced(pyproject):
     import synergy_tpu
 
