@@ -144,6 +144,76 @@ def sustained(ds, tokenizer, batch: int, batches: int, workers: int) -> float:
     return done / dt
 
 
+def end_to_end(csv: str, batch: int, steps: int) -> dict:
+    """Loader -> prefetch -> device_put -> jitted Base train step (device
+    preprocessing inside, like train/pretrain.py), NO checkpointing or
+    validation: the sustained overlapped rate. Runs on the default JAX
+    platform (the TPU when present)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from synergy_tpu.configs import CLIPConfig, TrainConfig
+    from synergy_tpu.data.pipeline import (CSVTriModalDataset, TriModalLoader,
+                                           get_tokenizer, prefetch)
+    from synergy_tpu.models.tri_clip import TriCLIP
+    from synergy_tpu.train.state import create_train_state, make_train_step
+    from synergy_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = CLIPConfig.base()
+    tcfg = TrainConfig(per_device_batch=batch, accum_steps=1,
+                       learning_rate=5e-6)
+    model = TriCLIP(cfg, dtype=jnp.bfloat16)
+    ds = CSVTriModalDataset(csv, is_captioned=False)
+    loader = TriModalLoader(ds, get_tokenizer(), batch, drop_last=True)
+
+    def batches(total):
+        # bounded (not an infinite epoch loop): the prefetch producer is a
+        # daemon thread, and an unbounded generator would keep reading
+        # fixture files after the measurement — racing the tempdir cleanup
+        done = 0
+        epoch = 0
+        while done < total:
+            loader.set_epoch(epoch)
+            for b in iter(loader):
+                yield b
+                done += 1
+                if done >= total:
+                    return
+            epoch += 1
+
+    it = prefetch(batches(steps + 1))
+    first = next(it)
+    sample = {
+        "pixel_values": jnp.zeros((batch, 3, 224, 224)),
+        "input_ids": jnp.asarray(first["input_ids"]),
+        "attention_mask": jnp.asarray(first["attention_mask"]),
+        "input_values": jnp.zeros((batch, cfg.audio.max_length,
+                                   cfg.audio.num_mel_bins)),
+    }
+    state = create_train_state(jax.random.PRNGKey(0), model, tcfg, sample)
+    step = jax.jit(make_train_step(model, tcfg, preprocess=True),
+                   donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    key, k = jax.random.split(key)
+    state, m = step(state, {kk: jnp.asarray(v) for kk, v in first.items()}, k)
+    float(m["loss"])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in itertools.islice(it, steps):
+        key, k = jax.random.split(key)
+        state, m = step(state, {kk: jnp.asarray(v) for kk, v in b.items()}, k)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return {"metric": "end_to_end_train_triplets_per_sec",
+            "value": round(steps * batch / dt, 1), "unit": "triplets/s",
+            "platform": jax.default_backend(), "compile_s": round(compile_s, 1),
+            "steps": steps, "batch": batch}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--samples", type=int, default=64)
@@ -152,6 +222,11 @@ def main(argv=None):
     p.add_argument("--workers", type=int, nargs="+", default=[1, 4, 8])
     p.add_argument("--train_rate", type=float, default=174.6,
                    help="device train triplets/s/chip to compare against")
+    p.add_argument("--device", action="store_true",
+                   help="also run the end-to-end loader+train-step mode "
+                        "(uses the default JAX platform, e.g. the TPU)")
+    p.add_argument("--device_steps", type=int, default=10)
+    p.add_argument("--device_batch", type=int, default=35)
     p.add_argument("--keep", action="store_true")
     args = p.parse_args(argv)
 
@@ -190,6 +265,9 @@ def main(argv=None):
                       else (os.cpu_count() or 1)),
             "chips_fed_per_loader_host": round(best / args.train_rate, 2),
         }))
+        if args.device:
+            print(json.dumps(end_to_end(csv, args.device_batch,
+                                        args.device_steps)))
     finally:
         if not args.keep:
             shutil.rmtree(d, ignore_errors=True)
