@@ -35,7 +35,10 @@ WAVE_SAMPLES = 164080
 
 @dataclass
 class TriModalSample:
-    image: np.ndarray  # (224, 224, 3) float32 in [0, 1]
+    # (224, 224, 3): uint8 from the file path (PIL's resize output is uint8 —
+    # shipping it raw is lossless and 4x fewer H2D bytes than f32/255; the
+    # device step divides by 255), float32 in [0, 1] from the synthetic path
+    image: np.ndarray
     wave: np.ndarray   # (WAVE_SAMPLES,) float32
     text: str
 
@@ -104,7 +107,7 @@ class CSVTriModalDataset:
         row = self.df.iloc[idx]
         img = Image.open(row.img_path).convert("RGB")
         img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
-        image = np.asarray(img, np.float32) / 255.0
+        image = np.asarray(img, np.uint8)  # device divides by 255
 
         from synergy_tpu.runtime import get_audio_frontend
 
@@ -167,7 +170,7 @@ class SyntheticTriModalDataset:
 class TriModalLoader:
     """Shuffling, multi-worker batch loader producing numpy dicts.
 
-    Output batch (host side): pixel_rgb (B,224,224,3) [0,1], wave (B,N),
+    Output batch (host side): pixel_rgb (B,224,224,3) uint8 or [0,1] f32, wave (B,N),
     input_ids/attention_mask (B,L). The device step turns pixel_rgb into
     augmented normalized pixel_values and wave into the fbank.
     """

@@ -93,7 +93,8 @@ def loss_fn(params, model: TriCLIP, batch, weights: Tuple[float, float, float],
 def device_preprocess(batch: Dict[str, jnp.ndarray], rng: Optional[jax.Array],
                       clip_cfg: CLIPConfig) -> Dict[str, jnp.ndarray]:
     """Fuse the augmentation tail + fbank into the device step. Input batch
-    carries raw host tensors (pixel_rgb in [0,1] HWC, wave at 16 kHz); output
+    carries raw host tensors (pixel_rgb HWC as uint8 or [0,1] float, wave at
+    16 kHz); output
     carries model-ready pixel_values / input_values. With ``rng=None`` the
     deterministic eval image chain is used."""
     from synergy_tpu.data.audio import log_mel_fbank
@@ -103,6 +104,10 @@ def device_preprocess(batch: Dict[str, jnp.ndarray], rng: Optional[jax.Array],
     out = dict(batch)
     if "pixel_rgb" in out:
         imgs = out.pop("pixel_rgb")
+        if imgs.dtype == jnp.uint8:
+            # raw uint8 from the loader (4x fewer H2D bytes); identical
+            # values to the old host-side f32/255 conversion
+            imgs = imgs.astype(jnp.float32) / 255.0
         if rng is not None:
             keys = jax.random.split(rng, imgs.shape[0])
             out["pixel_values"] = jax.vmap(

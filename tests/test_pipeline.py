@@ -48,12 +48,33 @@ def test_csv_dataset_sample(csv_fixture):
     ds = CSVTriModalDataset(csv, is_captioned=True, augment_audio=False)
     s = ds[0]
     assert s.image.shape == (224, 224, 3)
-    assert 0.0 <= s.image.min() and s.image.max() <= 1.0
+    # file-backed samples ship raw uint8 (the device step divides by 255 —
+    # lossless, 4x fewer H2D bytes than host-side f32/255)
+    assert s.image.dtype == np.uint8
     assert s.wave.shape == (WAVE_SAMPLES,)
     assert s.text == "caption 0"
     # prompt mode uses a template over the label
     ds2 = CSVTriModalDataset(csv, is_captioned=False, augment_audio=False)
     assert "{}" not in ds2[0].text and len(ds2[0].text) > 5
+
+
+def test_device_preprocess_uint8_matches_float():
+    """The uint8 wire format must be lossless: dividing by 255 on device
+    yields exactly the values the loader used to compute on host."""
+    import jax.numpy as jnp
+
+    from synergy_tpu.configs import CLIPConfig
+    from synergy_tpu.train.state import device_preprocess
+
+    cfg = CLIPConfig.tiny()
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, cfg.vision.image_size,
+                               cfg.vision.image_size, 3), np.uint8)
+    out_u8 = device_preprocess({"pixel_rgb": jnp.asarray(u8)}, None, cfg)
+    out_f32 = device_preprocess(
+        {"pixel_rgb": jnp.asarray(u8.astype(np.float32) / 255.0)}, None, cfg)
+    np.testing.assert_array_equal(np.asarray(out_u8["pixel_values"]),
+                                  np.asarray(out_f32["pixel_values"]))
 
 
 def test_csv_category_filter(csv_fixture):
