@@ -14,6 +14,9 @@ this module packages the stage-1 model for production embedding extraction:
                        {"modality": "audio", "audio_b64": ..., "shape": [B,N],
                         "dtype": "int16"|"float32"}
       POST /similarity {"texts": [...], plus one of image_b64/audio_b64 ...}
+      POST /classify   {"labels": [...], plus image_b64/audio_b64; optional
+                        "template" (defaults to the eval suite's ZS prompts)
+                        and "top_k"} -> per-sample label probabilities
       POST /reconstruct {"mm": "aud"|"img"|"txt", plus the two present
                         modalities} -> recon_b64 float32 (img/aud) or texts
                         (requires --recon_mm engines; stage-2 MMR serving)
@@ -562,6 +565,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"embeddings": emb.tolist()})
             elif self.path == "/reconstruct":
                 self._send(200, self._reconstruct(payload))
+            elif self.path == "/classify":
+                self._send(200, self._classify(payload))
             elif self.path == "/similarity":
                 texts = payload["texts"]
                 txt = self.engine.embed_text(texts)
@@ -584,6 +589,41 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, {"error": "unknown path"})
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def _classify(self, payload: Dict) -> Dict:
+        """Zero-shot classification as a service: the eval suite's fixed
+        protocol (prompt template over the label set, similarity softmax —
+        reference ZS_image_task.py:1455-1489 / ZS_audio_task.py:180-206)
+        for one image or audio batch. Payload: {"labels": [...],
+        "image_b64"+shape | "audio_b64"+shape [+"dtype": "int16"],
+        optional "template", optional "top_k" (default 5)}."""
+        from synergy_tpu.data.templates import ZS_AUDIO_PROMPT, ZS_IMAGE_PROMPT
+
+        labels = payload["labels"]
+        if not labels:
+            raise ValueError("labels must be non-empty")
+        top_k = min(int(payload.get("top_k", 5)), len(labels))
+        if "image_b64" in payload:
+            template = payload.get("template", ZS_IMAGE_PROMPT)
+            other = self.engine.embed_image(
+                _decode_array(payload, "image_b64", np.uint8))
+            pair = "IT"
+        else:
+            template = payload.get("template", ZS_AUDIO_PROMPT)
+            adtype = (np.int16 if payload.get("dtype") == "int16"
+                      else np.float32)
+            other = self.engine.embed_audio(
+                _decode_array(payload, "audio_b64", adtype))
+            pair = "TA"
+        txt = self.engine.embed_text([template.format(l) for l in labels])
+        sim = self.engine.similarity(other, txt, pair)  # (batch, labels)
+        sim = sim - sim.max(axis=-1, keepdims=True)
+        probs = np.exp(sim)
+        probs /= probs.sum(axis=-1, keepdims=True)
+        order = np.argsort(-probs, axis=-1)[:, :top_k]
+        top = [[{"label": labels[j], "prob": float(probs[i, j])}
+                for j in row] for i, row in enumerate(order)]
+        return {"pair": pair, "probs": probs.tolist(), "top": top}
 
     def _embed(self, payload: Dict) -> np.ndarray:
         modality = payload.get("modality")

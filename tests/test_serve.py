@@ -304,6 +304,35 @@ def test_http_embed_and_similarity(server, rng):
     assert sim.shape == (2, 3) and out["pair"] == "IT"
 
 
+def test_http_classify(server, rng):
+    """/classify is the eval suite's fixed zero-shot protocol as an API:
+    prompt template over the label set, softmax over similarities."""
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    status, out = _post(server, "/classify", {
+        "labels": ["dog barking", "rain", "violin"],
+        "image_b64": base64.b64encode(imgs.tobytes()).decode(),
+        "shape": list(imgs.shape),
+        "top_k": 2,
+    })
+    assert status == 200 and out["pair"] == "IT"
+    probs = np.asarray(out["probs"])
+    assert probs.shape == (2, 3)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+    assert len(out["top"]) == 2 and len(out["top"][0]) == 2
+    assert out["top"][0][0]["prob"] >= out["top"][0][1]["prob"]
+    # audio branch + empty labels rejected
+    wave = (rng.standard_normal((1, 16000)) * 1000).astype(np.int16)
+    status, out = _post(server, "/classify", {
+        "labels": ["dog barking", "rain"], "dtype": "int16",
+        "audio_b64": base64.b64encode(wave.tobytes()).decode(),
+        "shape": list(wave.shape),
+    })
+    assert status == 200 and out["pair"] == "TA"
+    assert np.asarray(out["probs"]).shape == (1, 2)
+    status, out = _post(server, "/classify", {"labels": []})
+    assert status == 400
+
+
 def test_http_bad_requests(server):
     status, out = _post(server, "/embed", {"modality": "video"})
     assert status == 400 and "error" in out
