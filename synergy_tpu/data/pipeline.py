@@ -178,7 +178,8 @@ class TriModalLoader:
     def __init__(self, dataset, tokenizer, batch_size: int,
                  seq_max_length: int = 32, shuffle: bool = True,
                  seed: int = 0, num_workers: Optional[int] = None,
-                 drop_last: bool = True, shard: tuple = (0, 1)):
+                 drop_last: bool = True, shard: tuple = (0, 1),
+                 wave_dtype: str = "float32"):
         self.ds = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -204,6 +205,15 @@ class TriModalLoader:
             # drop_last, which every multi-process CLI already uses).
             raise ValueError("shard[1] > 1 requires drop_last=True")
         self.shard = shard
+        # "int16": ship the wave as PCM (the serving wire format) — halves
+        # the batch's biggest buffer (23 MB f32 at batch 35); the device
+        # dequantizes by /32768. OPT-IN: quantization adds ~3e-5 absolute
+        # error to the augmented wave (the sources are 16-bit at origin,
+        # but augmentation/resampling outputs are continuous), so the
+        # default stays float32 = the reference's numerics exactly.
+        if wave_dtype not in ("float32", "int16"):
+            raise ValueError(f"wave_dtype {wave_dtype!r}")
+        self.wave_dtype = wave_dtype
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -237,9 +247,13 @@ class TriModalLoader:
                 samples = list(pool.map(load, chunk))
                 toks = self.tokenizer([s.text for s in samples],
                                       max_length=self.seq_max_length)
+                wave = np.stack([s.wave for s in samples])
+                if self.wave_dtype == "int16":
+                    wave = np.clip(wave * 32768.0, -32768, 32767
+                                   ).astype(np.int16)
                 yield {
                     "pixel_rgb": np.stack([s.image for s in samples]),
-                    "wave": np.stack([s.wave for s in samples]),
+                    "wave": wave,
                     "input_ids": toks["input_ids"],
                     "attention_mask": toks["attention_mask"],
                 }

@@ -118,6 +118,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_every", type=int, default=None,
                    help="also checkpoint every N epochs (recovery story; the "
                         "reference only saved on best validation loss)")
+    p.add_argument("--wave_wire", choices=("float32", "int16"),
+                   default="float32",
+                   help="int16 ships the waveform as PCM (half the bytes of "
+                        "the batch's biggest buffer; ~3e-5 quantization on "
+                        "augmented waves). float32 = reference numerics")
     p.add_argument("--keep_checkpoints", type=int, default=None,
                    help="retain only the newest N step checkpoints (each is "
                         "~3.6 GB of f32 state at Base scale); resume uses "
@@ -201,7 +206,7 @@ def main(argv=None):
     shard = (jax.process_index(), n_proc)
     train_loader = TriModalLoader(train_ds, tokenizer, batch // n_proc,
                                   args.seq_max_length, seed=args.SEED,
-                                  shard=shard)
+                                  shard=shard, wave_dtype=args.wave_wire)
     valid_loader = TriModalLoader(valid_ds, tokenizer, batch // n_proc,
                                   args.seq_max_length, shuffle=False,
                                   seed=args.SEED, shard=shard)

@@ -118,6 +118,9 @@ def device_preprocess(batch: Dict[str, jnp.ndarray], rng: Optional[jax.Array],
             out["pixel_values"] = jnp.transpose(normalize(imgs), (0, 3, 1, 2))
     if "wave" in out:
         wave = out.pop("wave")
+        if wave.dtype == jnp.int16:
+            # int16 PCM wire (opt-in, TriModalLoader wave_dtype="int16")
+            wave = wave.astype(jnp.float32) / 32768.0
         fbank = jax.vmap(lambda w: log_mel_fbank(w))(wave)
         # follow the audio tower's input geometry (tiny configs use a crop)
         out["input_values"] = fbank[:, : clip_cfg.audio.max_length,

@@ -77,6 +77,31 @@ def test_device_preprocess_uint8_matches_float():
                                   np.asarray(out_f32["pixel_values"]))
 
 
+def test_int16_wave_wire(csv_fixture):
+    """Opt-in PCM wave wire: the loader ships int16, the device dequantizes
+    to within one quantization step of the float32 path."""
+    import jax.numpy as jnp
+
+    from synergy_tpu.configs import CLIPConfig
+    from synergy_tpu.data.pipeline import TriModalLoader, get_tokenizer
+    from synergy_tpu.train.state import device_preprocess
+
+    csv, _, _ = csv_fixture
+    ds = CSVTriModalDataset(csv, is_captioned=True, augment_audio=False)
+    tok = get_tokenizer()
+    b16 = next(iter(TriModalLoader(ds, tok, 2, shuffle=False,
+                                   wave_dtype="int16")))
+    b32 = next(iter(TriModalLoader(ds, tok, 2, shuffle=False)))
+    assert b16["wave"].dtype == np.int16 and b32["wave"].dtype == np.float32
+    cfg = CLIPConfig.tiny()
+    out16 = device_preprocess({"wave": jnp.asarray(b16["wave"])}, None, cfg)
+    out32 = device_preprocess({"wave": jnp.asarray(b32["wave"])}, None, cfg)
+    # quantization perturbs the log-mel floor only slightly
+    d = np.abs(np.asarray(out16["input_values"])
+               - np.asarray(out32["input_values"]))
+    assert d.max() < 0.05, d.max()
+
+
 def test_csv_category_filter(csv_fixture):
     csv, cate, labels = csv_fixture
     ds = CSVTriModalDataset(csv, category_idx=[0, 2], category_json=cate)
