@@ -26,8 +26,11 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     depth = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(depth, jnp.float32)).astype(q.dtype)
+    # accumulate in >= f32: upcasts bf16 logits, but must not DOWNcast the
+    # f64 oracle runs (tests/test_reference_oracle.py pins 1e-8 in x64)
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
