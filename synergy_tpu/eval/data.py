@@ -56,7 +56,11 @@ class AudioSet:
 def _synthetic_images(label_names, n=256, size=64, seed=0) -> ImageSet:
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, len(label_names), n)
-    base = rng.random((len(label_names), 8, 8, 3)).astype(np.float32)
+    # class patterns are a property of the CLASS, not the split: train
+    # (seed=S) and test (seed=S+1) must share them or the task is
+    # unlearnable by construction (an FT probe would score below chance)
+    base = np.random.default_rng(len(label_names)).random(
+        (len(label_names), 8, 8, 3)).astype(np.float32)
     reps = size // 8
     imgs = np.stack([
         np.clip(np.kron(base[l], np.ones((reps, reps, 1), np.float32))

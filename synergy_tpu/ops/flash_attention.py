@@ -477,9 +477,16 @@ _PACKED_G = 2  # heads per program: G*d = 128 keeps lane offsets tile-aligned
 def packed_flash_supported(seq_len: int, num_heads: int, d: int,
                            bias) -> bool:
     """Engages for the whole-sequence regime on lane-alignable head pairs —
-    exactly the audio towers (852/1214 tokens, h=12, d=64)."""
+    the audio towers (852/1214 tokens, h=12, d=64) and ViT-L/14 (257 tokens,
+    h=16). Crossover measured on-chip: S=197 (ViT-B) is a wash vs XLA, S=257
+    is a model-level win at Large — 222→206 ms/step (+8%), largely because
+    XLA's attention backward keeps (b,h,s,s) softmax residuals that feed the
+    HBM-pressure fc1 remat (docs/BENCHMARKS.md Large profile). 256 splits
+    the two measured points; ``SYNERGY_PACKED_SEQ_MIN`` overrides for A/Bs
+    (read at trace time)."""
+    seq_min = int(os.environ.get("SYNERGY_PACKED_SEQ_MIN", "256"))
     return (bias is None and d == 64 and num_heads % _PACKED_G == 0
-            and 512 <= seq_len <= 2048
+            and seq_min <= seq_len <= 2048
             and jax.default_backend() == "tpu")
 
 

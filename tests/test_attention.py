@@ -182,12 +182,49 @@ def test_packed_flash_grads(rng):
 
 
 def test_packed_flash_routing_gate():
-    """packed_flash_supported engages exactly for the audio-tower regime."""
+    """packed_flash_supported engages exactly for the audio-tower regime
+    plus ViT-L's 257 tokens (measured crossover at 256, see gate docstring)."""
     on_tpu = jax.default_backend() == "tpu"
     assert fa.packed_flash_supported(852, 12, 64, None) == on_tpu
     assert fa.packed_flash_supported(1214, 12, 64, None) == on_tpu
+    assert fa.packed_flash_supported(257, 16, 64, None) == on_tpu  # ViT-L
     assert not fa.packed_flash_supported(197, 12, 64, None)   # short seq
     assert not fa.packed_flash_supported(852, 11, 64, None)   # odd heads
     assert not fa.packed_flash_supported(852, 12, 80, None)   # d != 64
     assert not fa.packed_flash_supported(852, 12, 64, jnp.ones((1, 1, 1, 852)))
     assert not fa.packed_flash_supported(4096, 12, 64, None)  # loop regime
+
+
+def test_packed_flash_odd_sequence_vitl(rng):
+    """ViT-L's 257-token (CLS + 16x16 patches) sequence is NOT a multiple of
+    the 8-sublane tile; the packed kernel's whole-seq slabs must still be
+    exact (fwd verified on-chip at 3.9e-3 bf16; this pins the fp32 math)."""
+    b, s, h, d = 1, 257, 2, 64
+    q3 = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v3 = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+
+    def split(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def merge(t):
+        return t.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+    ref = merge(xla_attention(split(q3), split(k3), split(v3)))
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention_packed(q3, k3, v3, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(merge(xla_attention(split(q), split(k), split(v))) ** 2)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(fa.flash_attention_packed(q, k, v, h) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q3, k3, v3)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss_packed, argnums=(0, 1, 2))(q3, k3, v3)
+    for name, a, b_ in zip("qkv", g, g_ref):
+        scale = max(1.0, float(np.abs(np.asarray(b_)).max()))
+        err = np.abs(np.asarray(a) - np.asarray(b_)).max()
+        assert err <= 2e-4 * scale, f"d{name}: {err} vs scale {scale}"

@@ -106,38 +106,47 @@ def test_zs_task_dispatch(tmp_path):
 
 
 @pytest.mark.slow
-def test_ft_image_cli(tmp_path):
+def test_ft_image_cli_learns(tmp_path):
+    """The synthetic fallback is linearly separable (per-class 8x8 base
+    patterns, shared across splits), so the probe must beat 10-class chance
+    by a wide margin — a head that silently fails to train scores ~10%.
+    Calibrated: 3 epochs @ lr 1e-3 on 128 samples reaches 100% here."""
     from synergy_tpu.eval.ft_image import main
 
-    m = main(["--tiny", "true", "--DATASET", "cifar-10", "--EPOCHS", "1",
-              "--BATCH_SIZE", "16", "--max_train", "64",
+    m = main(["--tiny", "true", "--DATASET", "cifar-10", "--EPOCHS", "3",
+              "--BATCH_SIZE", "16", "--max_train", "128", "--LR", "1e-3",
               "--ckpt_dir", str(tmp_path / "none"),
               "--data_root", str(tmp_path / "nodata"),
               "--metric_path", str(tmp_path / "M_IMG.json")])
-    assert 0.0 <= m["accuracy"] <= 100.0
+    assert m["accuracy"] >= 60.0, m["accuracy"]
 
 
 @pytest.mark.slow
-def test_ft_audio_cli(tmp_path):
+def test_ft_audio_cli_learns(tmp_path):
+    """Synthetic ESC-50 fallback encodes the class as a pure tone
+    (150 + 60*label Hz), so the probe must clear 50-class chance (2%) by a
+    real margin. Calibrated: 3 epochs @ lr 1e-3 reaches ~17% here."""
     from synergy_tpu.eval.ft_audio import main
 
-    m = main(["--tiny", "true", "--DATASET", "esc50", "--EPOCHS", "1",
-              "--BATCH_SIZE", "8", "--FOLD", "1",
+    m = main(["--tiny", "true", "--DATASET", "esc50", "--EPOCHS", "3",
+              "--BATCH_SIZE", "8", "--FOLD", "1", "--LR", "1e-3",
               "--ckpt_dir", str(tmp_path / "none"),
               "--data_root", str(tmp_path / "nodata"),
               "--metric_path", str(tmp_path / "M_AUD.json")])
-    assert 0.0 <= m["accuracy"] <= 100.0
+    assert m["accuracy"] >= 8.0, m["accuracy"]
 
 
 @pytest.mark.slow
-def test_ft_text_cli_classification(tmp_path):
+def test_ft_text_cli_classification_learns(tmp_path):
+    """The synthetic SST-2 fallback is keyword-separable; the head must beat
+    2-way chance decisively. Calibrated: 8 epochs @ lr 2e-3 reaches 100%."""
     from synergy_tpu.eval.ft_text import main
 
-    m = main(["--tiny", "true", "--DATASET", "sst2", "--EPOCHS", "2",
-              "--BATCH_SIZE", "8",
+    m = main(["--tiny", "true", "--DATASET", "sst2", "--EPOCHS", "8",
+              "--BATCH_SIZE", "16", "--LR", "2e-3",
               "--ckpt_dir", str(tmp_path / "none"),
               "--metric_path", str(tmp_path / "M_TXT.json")])
-    assert "accuracy" in m
+    assert m["accuracy"] >= 80.0, m["accuracy"]
 
 
 @pytest.mark.slow
@@ -167,3 +176,19 @@ def test_ft_text_cli_regression(tmp_path):
               "--ckpt_dir", str(tmp_path / "none"),
               "--metric_path", str(tmp_path / "M_TXT.json")])
     assert "pearson" in m and "spearman" in m
+
+
+def test_synthetic_splits_share_class_patterns():
+    """Regression: ft_image loads train with seed=S and test with seed=S+1;
+    the per-class base patterns must be split-invariant or the synthetic FT
+    task is unlearnable by construction (observed: 1.2% on 10-class)."""
+    from synergy_tpu.eval.data import _synthetic_images
+
+    a = _synthetic_images(["x", "y", "z"], n=32, size=16, seed=17)
+    b = _synthetic_images(["x", "y", "z"], n=32, size=16, seed=18)
+    ia = a.images[a.labels == 0].astype(np.float32).mean(0)
+    ib = b.images[b.labels == 0].astype(np.float32).mean(0)
+    # same class => same underlying pattern (noise averages out)
+    assert np.abs(ia - ib).mean() < 20.0
+    # different samples, though
+    assert not np.array_equal(a.images, b.images)

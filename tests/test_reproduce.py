@@ -104,3 +104,31 @@ def test_limit_and_dry_run(capsys):
     out = capsys.readouterr().out
     assert out.count("synergy_tpu.eval.zs_image") == 2
     assert "--SEED 25" in out  # base/prompt ZS seed block starts at 25
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_every_family_runs_end_to_end(tmp_path):
+    """Exercise the WHOLE eval surface through reproduce_tables itself: one
+    tiny run per family on the synthetic fallbacks, each in a subprocess
+    exactly as the real reproduction would run it, metric JSONs accumulating
+    in the workdir and the report rendering from them."""
+    families = ["ft_image", "ft_audio", "ft_text",
+                "zs_image", "zs_audio", "zs_task"]
+    wd = tmp_path / "work"
+    for fam in families:
+        rt.main(["--families", fam, "--sizes", "base", "--captioned",
+                 "false", "--limit", "1", "--tiny",
+                 "--workdir", str(wd),
+                 "--ckpt_dir", str(tmp_path / "no_ckpt"),
+                 "--data_root", str(tmp_path / "no_data")])
+    for fname, _ in rt._HEADLINE.values():
+        assert (wd / fname).exists(), fname
+    report = rt.render_report(str(wd))
+    for fam in families:
+        assert fam in report, fam
+    out = tmp_path / "report.md"
+    rt.main(["--report_only", "--workdir", str(wd), "--out", str(out)])
+    assert out.exists() and "Reproduced result tables" in out.read_text()

@@ -434,3 +434,53 @@ def test_http_similarity_accepts_int16_audio(server, rng):
     # rows = audio clips, cols = texts (same convention as the image case)
     assert sim.shape == (1, 2) and out["pair"] == "TA"
     assert np.all(np.isfinite(sim))
+
+
+@pytest.mark.slow
+def test_microbatcher_concurrent_mixed_load_no_starvation(engine, rng):
+    """Sustained concurrent image+audio+text load through one MicroBatcher:
+    every request must complete correctly AND each modality must make
+    continuous progress (completion-time ranges pairwise overlap — a starved
+    modality would only finish after another modality fully drained).
+    Absolute latency is not asserted: this box has one noisy shared vCPU."""
+    import time
+
+    from synergy_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(engine, window_ms=2.0)
+    per_client, done = 6, {}
+    img = (rng.random((1, 32, 32, 3)) * 255).astype(np.uint8)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)
+    payload = {"text": ["a dog barks"], "image": img, "audio": wav}
+    expect = {"text": engine.embed_text(["a dog barks"]),
+              "image": engine.embed_image(img),
+              "audio": engine.embed_audio(wav)}
+    engine.warmup(("text", "image", "audio"), image_size=32)
+    errs = []
+
+    def client(modality):
+        times = []
+        try:
+            for _ in range(per_client):
+                out = b.embed(modality, payload[modality])
+                np.testing.assert_allclose(out, expect[modality], atol=1e-5)
+                times.append(time.monotonic())
+        except Exception as e:  # surfaced after join
+            errs.append((modality, e))
+        done[modality] = times
+
+    threads = [threading.Thread(target=client, args=(m,)) for m in payload]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert all(len(v) == per_client for v in done.values()), {
+        k: len(v) for k, v in done.items()}
+    spans = {m: (v[0], v[-1]) for m, v in done.items()}
+    for m1 in spans:
+        for m2 in spans:
+            if m1 < m2:  # ranges overlap => no cross-modality starvation
+                assert spans[m1][0] <= spans[m2][1] and \
+                    spans[m2][0] <= spans[m1][1], (spans, m1, m2)
+    b.close()

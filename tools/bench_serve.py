@@ -142,6 +142,82 @@ def bench_http_concurrent(engine, n_clients: int, per_client: int,
     return rps
 
 
+def bench_http_mixed(engine, n_per_modality: int, per_client: int,
+                     window_ms: float, port: int):
+    """Concurrent image+audio+text clients against ONE server with the
+    MicroBatcher on: per-modality p50/p99 and aggregate req/s. Exercises the
+    cross-modality flush path under sustained load (a starved modality shows
+    up as a p99 orders beyond its p50)."""
+    import base64
+
+    import numpy as np
+
+    from synergy_tpu.serve import serve
+
+    server = serve(engine, port=port, batch_window_ms=window_ms)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    rng = np.random.default_rng(0)
+    img = (rng.random((1, 224, 224, 3)) * 255).astype(np.uint8)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)
+    bodies = {
+        "text": json.dumps({"modality": "text",
+                            "texts": ["a photo and sound of dog barking"]}),
+        "image": json.dumps({
+            "modality": "image", "shape": list(img.shape), "dtype": "uint8",
+            "data": base64.b64encode(img.tobytes()).decode()}),
+        "audio": json.dumps({
+            "modality": "audio", "shape": list(wav.shape),
+            "dtype": "float32",
+            "data": base64.b64encode(wav.tobytes()).decode()}),
+    }
+    lat = {m: [] for m in bodies}
+
+    def client(modality):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        for _ in range(per_client):
+            t0 = time.perf_counter()
+            conn.request("POST", "/embed", bodies[modality],
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()[:200]
+            resp.read()
+            lat[modality].append(time.perf_counter() - t0)
+        conn.close()
+
+    try:
+        engine.warmup(("text", "image", "audio"),
+                      image_size=img.shape[1], wave_len=wav.shape[1])
+        for m in bodies:           # compile-free timing
+            client(m)
+        for m in bodies:
+            lat[m].clear()
+        threads = [threading.Thread(target=client, args=(m,))
+                   for m in bodies for _ in range(n_per_modality)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+    finally:
+        server.shutdown()
+        if server.batcher is not None:
+            server.batcher.close()
+    total = 3 * n_per_modality * per_client
+    row = {"metric": "serve_http_mixed_rps", "window_ms": window_ms,
+           "clients_per_modality": n_per_modality,
+           "value": round(total / dt, 1),
+           "engine_calls": server.batcher.calls if server.batcher else total}
+    for m, xs in lat.items():
+        xs.sort()
+        row[f"{m}_p50_ms"] = round(xs[len(xs) // 2] * 1e3, 1)
+        row[f"{m}_p99_ms"] = round(xs[min(len(xs) - 1,
+                                          int(len(xs) * 0.99))] * 1e3, 1)
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)

@@ -1,10 +1,11 @@
 #!/usr/bin/env bash
 # Three-lane test runner (single-CPU container; xdist doesn't help at nproc=1).
 # Wall-times measured round 3 (late) on this box (1 core, warm XLA cache):
-#   tools/run_tests.sh quick   — excludes @slow/@parity   (~4 min warm,
-#                                128 tests)
-#   tools/run_tests.sh full    — everything except @parity (~18 min warm,
-#                                165 tests; Base-dim parity, 2-process
+#   tools/run_tests.sh quick   — excludes @slow/@parity   (~6 min warm,
+#                                ~151 tests; count drifts as tests land —
+#                                trust pytest's summary, not this header)
+#   tools/run_tests.sh full    — everything except @parity (~20 min warm,
+#                                ~200 tests; Base-dim parity, 2-process
 #                                distributed, real-file integration runs)
 #   tools/run_tests.sh parity  — opt-in heaviest lane: Large-dim steps on the
 #                                virtual CPU mesh (tens of minutes per test)
