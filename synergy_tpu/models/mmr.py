@@ -36,6 +36,33 @@ from synergy_tpu.configs import ReconstructionConfig
 from synergy_tpu.models.layers import TransformerEncoder
 from synergy_tpu.ops.pixel_shuffle import pixel_shuffle_nhwc
 
+# torch nn.Linear / nn.Conv default init: kaiming_uniform(a=sqrt(5)) ==
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for the kernel, same bound for the
+# bias. This is NOT cosmetic: with flax's default (lecun_normal + zero
+# bias) the conv decoders stall at the batch-mean solution (MSE == label
+# variance, flat for hundreds of steps), while from the torch init the
+# SAME modules + optimizer memorize the reference's single-batch regime
+# (measured against /root/reference/model.py's own training trajectory —
+# see docs/BENCHMARKS.md MMR quality endpoint).
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dense(features: int, fan_in: int, use_bias: bool = True,
+           dtype=jnp.float32, name: str = None) -> nn.Dense:
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(fan_in))
+
 
 class MultiModalEncoder(nn.Module):
     """x + MLP(LN(x)) then enc->dec projection (reference model.py:359-384)."""
@@ -48,13 +75,16 @@ class MultiModalEncoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         h = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        h = nn.Dense(cfg.encoder_bottleneck_dim, dtype=self.dtype, name="fc1")(h)
+        h = _dense(cfg.encoder_bottleneck_dim, cfg.encoder_dim,
+                   dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(cfg.encoder_dropout,
                        deterministic=self.deterministic)(h)
-        h = nn.Dense(cfg.encoder_dim, dtype=self.dtype, name="fc2")(h)
+        h = _dense(cfg.encoder_dim, cfg.encoder_bottleneck_dim,
+                   dtype=self.dtype, name="fc2")(h)
         x = x + h
-        return nn.Dense(cfg.decoder_dim, dtype=self.dtype, name="enc_to_dec")(x)
+        return _dense(cfg.decoder_dim, cfg.encoder_dim, dtype=self.dtype,
+                      name="enc_to_dec")(x)
 
 
 class PixelShuffleBlock(nn.Module):
@@ -65,7 +95,9 @@ class PixelShuffleBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # NHWC
         x = nn.Conv(self.out_ch * self.upscale ** 2, (3, 3), padding=1,
-                    dtype=self.dtype, name="conv")(x)
+                    dtype=self.dtype, name="conv",
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(x.shape[-1] * 9))(x)
         x = pixel_shuffle_nhwc(x, self.upscale)
         return jax.nn.relu(x)
 
@@ -78,9 +110,10 @@ class CBAM(nn.Module):
     @nn.compact
     def __call__(self, x):  # NHWC
         red = max(1, self.channels // self.reduction_ratio)
-        fc1 = nn.Dense(red, use_bias=False, dtype=self.dtype, name="ca_fc1")
-        fc2 = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
-                       name="ca_fc2")
+        fc1 = _dense(red, self.channels, use_bias=False, dtype=self.dtype,
+                     name="ca_fc1")
+        fc2 = _dense(self.channels, red, use_bias=False, dtype=self.dtype,
+                     name="ca_fc2")
 
         def gate(pooled):  # (B, C)
             return jax.nn.sigmoid(fc2(jax.nn.relu(fc1(pooled))))
@@ -95,7 +128,7 @@ class CBAM(nn.Module):
         avg_sp = jnp.mean(x, axis=-1, keepdims=True)
         sp = jnp.concatenate([max_sp, avg_sp], axis=-1)
         sa = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype,
-                     name="sa_conv")(sp)
+                     name="sa_conv", kernel_init=TORCH_KERNEL_INIT)(sp)
         return x * jax.nn.sigmoid(sa)
 
 
@@ -130,9 +163,9 @@ class SpatialMLP(nn.Module):
     def __call__(self, x):  # NHWC
         b, h, w, c = x.shape
         y = x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
-        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(y)
+        y = _dense(self.hidden, h * w, dtype=self.dtype, name="fc1")(y)
         y = jax.nn.relu(y)
-        y = nn.Dense(self.spatial, dtype=self.dtype, name="fc2")(y)
+        y = _dense(self.spatial, self.hidden, dtype=self.dtype, name="fc2")(y)
         return y.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
@@ -172,7 +205,8 @@ class _ShuffleDecoder(nn.Module):
     def __call__(self, embed):  # (B, decoder_dim) -> NHWC image
         info = self.layer_info
         _, c0, h0, w0 = info[0]
-        x = nn.Dense(c0 * h0 * w0, dtype=self.dtype, name="initial")(embed)
+        x = _dense(c0 * h0 * w0, embed.shape[-1], dtype=self.dtype,
+                   name="initial")(embed)
         # torch unflattens to (C, H, W); keep that ordering, then go NHWC
         x = x.reshape(-1, c0, h0, w0).transpose(0, 2, 3, 1)
         for idx, ((up_p, _, _, _), (_, oc, oh, ow)) in enumerate(
@@ -180,7 +214,9 @@ class _ShuffleDecoder(nn.Module):
             x = ReconBlock(oc, oh, ow, up_p, self.dtype,
                            name=f"recon_{idx}")(x)
         x = PixelShuffleBlock(self.channels, 2, self.dtype, name="final_shuffle")(x)
-        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="final_conv")(x)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="final_conv",
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(self.channels))(x)
         return x
 
 
@@ -219,12 +255,13 @@ class TXTDecoder(nn.Module):
         cfg = self.config
         # conv1d(k=1) over the token axis == Dense over that axis
         x = jnp.swapaxes(txt_embed, 1, 2)  # (B, D, 1)
-        x = nn.Dense(cfg.txt_tokens, dtype=self.dtype, name="expand1")(x)
+        x = _dense(cfg.txt_tokens, 1, dtype=self.dtype, name="expand1")(x)
         x = nn.BatchNorm(use_running_average=self.deterministic,
                          momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          axis=-1, name="bn")(x)
         x = jax.nn.relu(x)
-        x = nn.Dense(cfg.text_length, dtype=self.dtype, name="expand2")(x)
+        x = _dense(cfg.text_length, cfg.txt_tokens, dtype=self.dtype,
+                   name="expand2")(x)
         x = jnp.swapaxes(x, 1, 2)  # (B, text_length, D)
         pos = self.param("pos_embedding", nn.initializers.normal(1.0),
                          (1, cfg.text_length, cfg.decoder_dim), jnp.float32)
@@ -241,8 +278,10 @@ class TXTDecoder(nn.Module):
             deterministic=self.deterministic,
             name="decoder",
         )(x)
+        # torch kernel init; the bias is explicitly ZERO-initialized in the
+        # reference (model.py:549-551 replaces to_words.bias with zeros)
         return nn.Dense(cfg.clip.text.vocab_size, dtype=self.dtype,
-                        name="to_words")(x)
+                        name="to_words", kernel_init=TORCH_KERNEL_INIT)(x)
 
 
 class ImgTxt2Aud(nn.Module):
@@ -258,8 +297,10 @@ class ImgTxt2Aud(nn.Module):
     def __call__(self, img_pooled, txt_pooled):
         cfg = self.config
         img = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="img_dim_mapper")(img_pooled)[:, None, :]
         txt = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="txt_dim_mapper")(txt_pooled)[:, None, :]
         mm = img + txt
         mm = MultiModalEncoder(cfg, self.dtype, self.deterministic,
@@ -281,8 +322,10 @@ class TxtAud2Img(nn.Module):
         txt = jnp.mean(txt_lhs, axis=1, keepdims=True)
         aud = jnp.mean(aud_lhs, axis=1, keepdims=True)
         txt = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="txt_dim_mapper")(txt)
         aud = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="aud_dim_mapper")(aud)
         mm = txt + aud
         mm = MultiModalEncoder(cfg, self.dtype, self.deterministic,
@@ -304,8 +347,10 @@ class ImgAud2Txt(nn.Module):
         img = jnp.mean(img_lhs, axis=1, keepdims=True)
         aud = jnp.mean(aud_lhs, axis=1, keepdims=True)
         img = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="img_dim_mapper")(img)
         aud = nn.Dense(cfg.encoder_dim, use_bias=False, dtype=self.dtype,
+                       kernel_init=TORCH_KERNEL_INIT,
                        name="aud_dim_mapper")(aud)
         mm = img + aud
         mm = MultiModalEncoder(cfg, self.dtype, self.deterministic,

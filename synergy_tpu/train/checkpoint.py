@@ -127,12 +127,18 @@ def load_meta(ckpt_dir: str, tag: str, step: int) -> Optional[Dict[str, Any]]:
         return json.load(f)
 
 
-def _prune_old_steps(ckpt_dir: str, tag: str, keep: int):
+def _prune_old_steps(ckpt_dir: str, tag: str, keep: int,
+                     pin: Optional[int] = None):
     """Delete all but the newest ``keep`` step checkpoints (and their meta
     sidecars). Resume uses the LATEST step and the best-validation towers
     live in the per-modality export files, so pruning old steps never loses
     either contract — without it a long run with --checkpoint_every
-    accumulates ~3.6 GB of f32 state per save at Base scale."""
+    accumulates ~3.6 GB of f32 state per save at Base scale.
+
+    ``pin`` exempts one step from pruning — the deferred-export mode
+    (pretrain --export_mode final) materializes the tower export from the
+    best-validation step at the END of training, so that step must survive
+    any interleaved periodic saves."""
     import shutil
 
     path = os.path.join(ckpt_dir, tag, "state")
@@ -142,6 +148,8 @@ def _prune_old_steps(ckpt_dir: str, tag: str, keep: int):
     # keep <= 0 deletes every committed step (the async path prunes to
     # keep-1 BEFORE scheduling its new save, so keep=1 arrives here as 0)
     for s in steps[:-keep] if keep > 0 else steps:
+        if pin is not None and s == pin:
+            continue
         shutil.rmtree(os.path.join(path, str(s)), ignore_errors=True)
         meta = os.path.join(ckpt_dir, tag, f"meta_{s}.json")
         if os.path.exists(meta):
@@ -150,7 +158,7 @@ def _prune_old_steps(ckpt_dir: str, tag: str, keep: int):
 
 def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
                async_save: bool = False, export: bool = True,
-               keep: Optional[int] = None):
+               keep: Optional[int] = None, pin_step: Optional[int] = None):
     """Full train state via Orbax (also exports the towers).
 
     Multi-process pods: the Orbax save is a collective with cross-process
@@ -187,7 +195,7 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
         # prune BEFORE scheduling: every older step is already committed
         # (the wait above), and the new dest is never a prune candidate
         if keep is not None and jax.process_index() == 0:
-            _prune_old_steps(ckpt_dir, tag, keep - 1)
+            _prune_old_steps(ckpt_dir, tag, keep - 1, pin=pin_step)
         _async_ckptr.save(dest, target, force=True)
         if not export:
             return
@@ -205,12 +213,32 @@ def save_state(ckpt_dir: str, tag: str, state, step: Optional[int] = None,
     ckptr.save(dest, target, force=True)
     ckptr.wait_until_finished()
     if keep is not None and jax.process_index() == 0:
-        _prune_old_steps(ckpt_dir, tag, keep)
+        _prune_old_steps(ckpt_dir, tag, keep, pin=pin_step)
     if not export:
         return
     host_params = _host_params(state.params)
     if jax.process_index() == 0:
         export_towers(ckpt_dir, tag, host_params)
+
+
+def export_from_step(ckpt_dir: str, tag: str, state,
+                     step: Optional[int] = None) -> int:
+    """Materialize the per-modality export (C12 contract) from a committed
+    Orbax step instead of live device state — the deferred-export path
+    (pretrain --export_mode final). Eager mode pays a synchronous
+    device->host copy of the full param tree on EVERY best-val epoch; this
+    pays it once, at the end of training, from disk (no device involved
+    beyond restore). Multi-process: restore + _host_params are collectives —
+    call from all processes; only process 0 writes files."""
+    if step is None:
+        step = latest_step(ckpt_dir, tag)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}/{tag}")
+    restored = restore_state(ckpt_dir, tag, state, step=step)
+    host_params = _host_params(restored.params)
+    if jax.process_index() == 0:
+        export_towers(ckpt_dir, tag, host_params)
+    return int(step)
 
 
 def wait_for_saves():

@@ -264,7 +264,11 @@ def main(argv=None):
         upd, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), new_stats, new_opt, loss, m1, m2
 
-    step = jax.jit(step)
+    # donate params/stats/opt-state: halves step memory AND keeps the big
+    # output buffers device-resident (measured: non-donated txt steps cost
+    # seconds each through a remote-TPU tunnel when metrics are fetched —
+    # the ~700 MB of fresh param/opt buffers ride along with the sync)
+    step = jax.jit(step, donate_argnums=(0, 1, 2))
 
     tb = None
     if args.tb_dir:

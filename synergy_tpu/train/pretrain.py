@@ -123,6 +123,15 @@ def parse_args(argv=None):
                    help="int16 ships the waveform as PCM (half the bytes of "
                         "the batch's biggest buffer; ~3e-5 quantization on "
                         "augmented waves). float32 = reference numerics")
+    p.add_argument("--export_mode", choices=("eager", "final"),
+                   default="eager",
+                   help="eager (reference behavior): write the per-modality "
+                        "tower export on every best-val epoch — costs a "
+                        "synchronous device->host copy of the full param "
+                        "tree each time. final: defer the export to the end "
+                        "of training, materialized once from the best-val "
+                        "Orbax step (pinned from pruning); on preemption "
+                        "the export appears when the resumed run finishes")
     p.add_argument("--keep_checkpoints", type=int, default=None,
                    help="retain only the newest N step checkpoints (each is "
                         "~3.6 GB of f32 state at Base scale); resume uses "
@@ -256,6 +265,7 @@ def main(argv=None):
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
     start_epoch = 0
     min_loss = float("inf")
+    best_step = None  # Orbax step holding the best-val state (export pin)
     aug_key = jax.random.PRNGKey(args.SEED + 1234)
     resume_step = ckpt.latest_step(args.ckpt_dir, tag) if args.resume else None
     if resume_step is not None:
@@ -264,6 +274,8 @@ def main(argv=None):
         if meta:  # loop position: epoch to (re)start, best-val gate, rng
             start_epoch = int(meta.get("epoch", 0))
             min_loss = float(meta.get("min_loss", float("inf")))
+            if meta.get("best_step") is not None:
+                best_step = int(meta["best_step"])
             if "aug_key" in meta:
                 aug_key = jnp.asarray(meta["aug_key"], jnp.uint32)
         print(f"[pretrain] resumed from step {int(state.step)} "
@@ -293,6 +305,7 @@ def main(argv=None):
 
     def _meta(next_epoch: int) -> dict:
         return {"epoch": int(next_epoch), "min_loss": float(min_loss),
+                "best_step": best_step,
                 "aug_key": np.asarray(aug_key).tolist()}
 
     tb = None
@@ -379,8 +392,11 @@ def main(argv=None):
                     # training resumes while Orbax commits + the tower export
                     # writes in the background
                     min_loss = val_loss
+                    best_step = int(state.step)
                     ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
-                                    keep=args.keep_checkpoints)
+                                    export=args.export_mode == "eager",
+                                    keep=args.keep_checkpoints,
+                                    pin_step=best_step)
                     ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                    _meta(next_epoch=epoch + 1))
                     if is_primary():
@@ -391,7 +407,8 @@ def main(argv=None):
                 # stays the best-validation one; --resume picks up whichever
                 # state step is newest (best-val or periodic)
                 ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
-                                export=False, keep=args.keep_checkpoints)
+                                export=False, keep=args.keep_checkpoints,
+                                pin_step=best_step)
                 ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                _meta(next_epoch=epoch + 1))
             if args.log_file and is_primary():
@@ -412,6 +429,13 @@ def main(argv=None):
                 tb.flush()
 
         ckpt.wait_for_saves()  # barrier: files complete before downstream use
+        if (args.export_mode == "final" and best_step is not None
+                and not preempted.is_set()):
+            t0 = time.perf_counter()
+            ckpt.export_from_step(args.ckpt_dir, tag, state, step=best_step)
+            if is_primary():
+                print(f"[pretrain] deferred export: towers from best-val "
+                      f"step {best_step} ({time.perf_counter() - t0:.1f}s)")
 
         # final test loop (reference main_pretraining.py:231-260)
         if args.synthetic or not os.path.exists(args.test_csv):
