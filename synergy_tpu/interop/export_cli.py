@@ -52,6 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--hf_dirs", type=str, default=None,
                    help="also write per-modality HF save_pretrained dirs "
                         "+ projection_head.tar under this directory")
+    p.add_argument("--from_orbax_step", type=int, default=None,
+                   help="first (re)materialize the per-modality export from "
+                        "this Orbax step (use after a --export_mode final "
+                        "run that was preempted and never resumed; -1 = "
+                        "latest step)")
+    p.add_argument("--tiny", type=str2bool, default=False,
+                   help="the checkpoint was trained with pretrain --tiny "
+                        "(only affects --from_orbax_step's restore template)")
     return p.parse_args(argv)
 
 
@@ -60,6 +68,32 @@ def main(argv=None):
 
     args = parse_args(argv)
     tag = ckpt.size_tag(args.IS_BASE, args.IS_CAPTIONED)
+    if args.from_orbax_step is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from synergy_tpu.configs import CLIPConfig, TrainConfig
+        from synergy_tpu.models.tri_clip import TriCLIP
+        from synergy_tpu.train.state import create_train_state
+
+        if args.tiny:
+            cfg = CLIPConfig.tiny()
+        else:
+            cfg = CLIPConfig.base() if args.IS_BASE else CLIPConfig.large()
+        model = TriCLIP(cfg)
+        batch = {
+            "pixel_values": jnp.zeros((1, 3, cfg.vision.image_size,
+                                       cfg.vision.image_size)),
+            "input_ids": jnp.ones((1, 8), jnp.int32),
+            "attention_mask": jnp.ones((1, 8), jnp.int32),
+            "input_values": jnp.zeros((1, cfg.audio.max_length,
+                                       cfg.audio.num_mel_bins)),
+        }
+        template = create_train_state(jax.random.PRNGKey(0), model,
+                                      TrainConfig(per_device_batch=1), batch)
+        step = (None if args.from_orbax_step < 0 else args.from_orbax_step)
+        got = ckpt.export_from_step(args.ckpt_dir, tag, template, step=step)
+        print(f"[export] materialized export from Orbax step {got}")
     params = _assemble_params(args.ckpt_dir, tag)
     out = args.out or f"CLIP_model_{tag}.tar"
     export_hf.export_reference_checkpoint(params, out)

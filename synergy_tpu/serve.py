@@ -100,6 +100,17 @@ class EmbeddingEngine:
         try:
             self.params = ckpt.load_tri_clip_params(ckpt_dir, tag)
             self.loaded_from = f"{ckpt_dir}/{tag}"
+            got = self.params["text"]["embeddings"]["word_embeddings"][
+                "embedding"].shape
+            want = (self.cfg.text.vocab_size, self.cfg.text.hidden_size)
+            if tuple(got) != want:
+                # fail HERE with an actionable message, not at first apply
+                # with a flax scope-shape error deep in a jitted call
+                raise ValueError(
+                    f"checkpoint under {ckpt_dir}/{tag} has text embedding "
+                    f"shape {tuple(got)} but the engine config expects "
+                    f"{want} — wrong size (tiny/base/large) checkpoint for "
+                    f"this engine")
         except (FileNotFoundError, OSError):
             cfg = self.cfg
             self.params = jax.jit(self.model.init)(

@@ -365,3 +365,44 @@ def test_large_tp_step_on_virtual_mesh():
         loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
     assert int(new_state.step) == 1
+
+
+def test_prune_pins_best_step(tmp_path, tiny_setup):
+    """--export_mode final defers the tower export to end of training, so the
+    best-val Orbax step must survive interleaved periodic pruning."""
+    cfg, tcfg, model, batch, state = tiny_setup
+    tag = ckpt.size_tag(True, False)
+    for s in (1, 2, 3, 4):
+        ckpt.save_state(str(tmp_path), tag, state, step=s, export=False,
+                        keep=2, pin_step=1)
+    p = tmp_path / tag / "state"
+    steps = sorted(int(d.name) for d in p.iterdir() if d.name.isdigit())
+    assert steps == [1, 3, 4]  # newest 2 plus the pinned best step
+
+    # export_from_step materializes the C12 contract from the pinned step
+    ckpt.export_from_step(str(tmp_path), tag, state, step=1)
+    export = tmp_path / tag / "export"
+    for m in ("vision", "text", "audio"):
+        assert (export / m / "tower.msgpack").exists()
+    assert (export / "logit_scales.msgpack").exists()
+
+
+@pytest.mark.slow
+def test_pretrain_cli_export_mode_final(tmp_path):
+    """--export_mode final writes the per-modality export exactly once, at
+    the end of training, from the best-val step."""
+    import os
+
+    from synergy_tpu.train.pretrain import main
+
+    main([
+        "--tiny", "true", "--synthetic", "true", "--synthetic_size", "16",
+        "--epochs", "2", "--steps_per_epoch", "2", "--batch_size", "8",
+        "--accum_steps", "1", "--ckpt_dir", str(tmp_path / "ck"),
+        "--dtype", "float32", "--export_mode", "final",
+        "--keep_checkpoints", "1",
+    ])
+    export = tmp_path / "ck" / "base_prompt" / "export"
+    for m in ("vision", "text", "audio"):
+        assert (export / m / "tower.msgpack").exists(), m
+        assert (export / m / "projection_head.msgpack").exists(), m

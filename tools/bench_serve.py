@@ -164,12 +164,11 @@ def bench_http_mixed(engine, n_per_modality: int, per_client: int,
         "text": json.dumps({"modality": "text",
                             "texts": ["a photo and sound of dog barking"]}),
         "image": json.dumps({
-            "modality": "image", "shape": list(img.shape), "dtype": "uint8",
-            "data": base64.b64encode(img.tobytes()).decode()}),
+            "modality": "image", "shape": list(img.shape),
+            "image_b64": base64.b64encode(img.tobytes()).decode()}),
         "audio": json.dumps({
             "modality": "audio", "shape": list(wav.shape),
-            "dtype": "float32",
-            "data": base64.b64encode(wav.tobytes()).decode()}),
+            "audio_b64": base64.b64encode(wav.tobytes()).decode()}),
     }
     lat = {m: [] for m in bodies}
 
@@ -244,6 +243,8 @@ def main():
                                       0.0, 8992)
     rps_batched = bench_http_concurrent(engine, args.clients, args.per_client,
                                         args.window_ms, 8993)
+    mixed = bench_http_mixed(engine, max(1, args.clients // 4),
+                             args.per_client, args.window_ms, 8994)
 
     print("\n| modality | batch | batch ms | embeddings/s | streamed |")
     print("|---|---|---|---|---|")
@@ -255,6 +256,10 @@ def main():
     print(f"HTTP /embed {args.clients} concurrent clients: "
           f"{rps_plain:.1f} req/s unbatched -> {rps_batched:.1f} req/s "
           f"batched (window {args.window_ms} ms)")
+    print(f"HTTP /embed mixed img+aud+txt ({max(1, args.clients // 4)} "
+          f"clients/modality): {mixed['value']} req/s; p50/p99 ms — "
+          + ", ".join(f"{m} {mixed[f'{m}_p50_ms']}/{mixed[f'{m}_p99_ms']}"
+                      for m in ("text", "image", "audio")))
 
 
 if __name__ == "__main__":
