@@ -154,6 +154,10 @@ def main():
         # peak (a >=36-chip aggregate target), so MFU is the honest
         # single-chip score.
         record["mfu"] = round(per_chip * 636e9 / 197e12, 4)
+    elif args.mode == "train" and args.size == "large":
+        # 1,327 GF trained per Large triplet (ViT-L/14 257 tok 162 GF +
+        # RoBERTa-large 19 GF + AST-1214 261 GF fwd, x3 for training)
+        record["mfu"] = round(per_chip * 1327e9 / 197e12, 4)
     print(json.dumps(record))
 
 

@@ -111,6 +111,11 @@ class TextConfig:
             intermediate_size=4096,
             num_hidden_layers=24,
             num_attention_heads=16,
+            # same math as "gelu" (≤4e-6); analytic custom JVP avoids the
+            # u16 predicate residuals that feed Large's HLO-remat HBM pressure:
+            # +10.4% Large train, measured REGRESSION on Base, so routed
+            # here, not globally (models/layers.py exact_gelu docstring)
+            hidden_act="gelu_xjvp",
         )
 
 
@@ -167,6 +172,8 @@ class AudioConfig:
             model_link="MIT/ast-finetuned-audioset-10-10-0.4593",
             frequency_stride=10,
             time_stride=10,
+            # see TextConfig.large(): Large-only analytic-JVP GELU routing
+            hidden_act="gelu_xjvp",
         )
 
 

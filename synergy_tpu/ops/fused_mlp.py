@@ -56,8 +56,8 @@ def _erf(x):
 
 
 def _act_fwd(h, act: str):
-    if act == "gelu":
-        return h * 0.5 * (1.0 + _erf(h * _INV_SQRT2))
+    if act in ("gelu", "gelu_xjvp"):  # same primal; _xjvp differs only in
+        return h * 0.5 * (1.0 + _erf(h * _INV_SQRT2))  # its autodiff rule
     if act == "gelu_new":  # tanh approximation (HF gelu_new semantics)
         return 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654
                                          * (h + 0.044715 * h ** 3)))

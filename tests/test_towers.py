@@ -142,3 +142,51 @@ def test_ast_parity(rng):
     lhs, pooled = model.apply({"params": params}, jnp.asarray(fbank))
     _assert_close(lhs, ref.last_hidden_state, "ast last_hidden_state")
     _assert_close(pooled, ref.pooler_output, "ast pooler_output")
+
+
+def test_exact_gelu_matches_autodiff():
+    """ACTIVATIONS['gelu_xjvp'] (Large text/audio towers only) is GELU with
+    an analytic custom JVP (Φ(x)+x·φ(x)), so the compiled backward avoids
+    XLA's erfc-select predicate residuals (docs/BENCHMARKS.md Large
+    profile); primal AND gradient must stay numerically equal to autodiff
+    through jax.nn.gelu(approximate=False), which 'gelu' (Base) uses."""
+    import jax
+
+    from synergy_tpu.configs import AudioConfig, CLIPConfig, TextConfig
+    from synergy_tpu.models.layers import ACTIVATIONS, exact_gelu
+
+    # routing: the analytic JVP is a measured WIN on Large and a measured
+    # REGRESSION on Base, so only the Large text/audio configs select it
+    assert ACTIVATIONS["gelu_xjvp"] is exact_gelu
+    assert TextConfig.large().hidden_act == "gelu_xjvp"
+    assert AudioConfig.large().hidden_act == "gelu_xjvp"
+    assert TextConfig.base().hidden_act == "gelu"
+    assert AudioConfig.base().hidden_act == "gelu"
+    assert CLIPConfig.large().vision.hidden_act == "quick_gelu"
+
+    x = jnp.asarray(
+        np.concatenate([
+            np.linspace(-12.0, 12.0, 4001),
+            np.array([0.0, -1e-8, 1e-8, -30.0, 30.0]),
+        ]), jnp.float32)
+
+    # abs tol 1e-5, not ulp-exact: jax.nn.gelu's erfc-stabilized lowering
+    # resolves the deep tail (gelu(-12) ~ -2e-32) where plain f32 erf
+    # saturates to -1, so exact_gelu returns ~1e-6 there instead; and at
+    # x=30 the erf path is ~2 ulp off. Both are far below bf16 resolution
+    # (the training dtype) and were measured as loss-neutral on-chip.
+    ref = jax.nn.gelu(x, approximate=False)
+    ours = exact_gelu(x)
+    assert np.abs(np.asarray(ours - ref)).max() <= 1e-5
+
+    g_ref = jax.grad(lambda v: jnp.sum(jax.nn.gelu(v, approximate=False)))(x)
+    g_ours = jax.grad(lambda v: jnp.sum(exact_gelu(v)))(x)
+    assert np.all(np.isfinite(np.asarray(g_ours)))
+    assert np.abs(np.asarray(g_ours - g_ref)).max() <= 1e-5
+
+    # second-order path (jax.hessian users): custom JVP must stay
+    # differentiable
+    h = jax.grad(jax.grad(lambda v: exact_gelu(v)))(jnp.float32(0.7))
+    h_ref = jax.grad(jax.grad(
+        lambda v: jax.nn.gelu(v, approximate=False)))(jnp.float32(0.7))
+    assert abs(float(h - h_ref)) <= 1e-6
