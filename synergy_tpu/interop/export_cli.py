@@ -72,9 +72,8 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        from synergy_tpu.configs import CLIPConfig, TrainConfig
+        from synergy_tpu.configs import CLIPConfig
         from synergy_tpu.models.tri_clip import TriCLIP
-        from synergy_tpu.train.state import create_train_state
 
         if args.tiny:
             cfg = CLIPConfig.tiny()
@@ -89,10 +88,17 @@ def main(argv=None):
             "input_values": jnp.zeros((1, cfg.audio.max_length,
                                        cfg.audio.num_mel_bins)),
         }
-        template = create_train_state(jax.random.PRNGKey(0), model,
-                                      TrainConfig(per_device_batch=1), batch)
+        # abstract params template: export_from_step only needs the tree
+        # structure, so eval_shape (no compute, no device memory) replaces
+        # what used to be a jitted full-model init + throwaway opt tree —
+        # minutes and a param-sized device buffer at Large scale
+        abstract = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), batch["pixel_values"],
+            batch["input_ids"], batch["attention_mask"],
+            batch["input_values"])
         step = (None if args.from_orbax_step < 0 else args.from_orbax_step)
-        got = ckpt.export_from_step(args.ckpt_dir, tag, template, step=step)
+        got = ckpt.export_from_step(args.ckpt_dir, tag, abstract["params"],
+                                    step=step)
         print(f"[export] materialized export from Orbax step {got}")
     params = _assemble_params(args.ckpt_dir, tag)
     out = args.out or f"CLIP_model_{tag}.tar"

@@ -36,7 +36,7 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 from synergy_tpu.configs import ReconstructionConfig
-from synergy_tpu.interop.hf_port import _layernorm, _linear, _np
+from synergy_tpu.interop.hf_port import _layernorm, _np
 
 
 def _dense(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:

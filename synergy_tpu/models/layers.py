@@ -65,6 +65,29 @@ ACTIVATIONS = {
 }
 
 
+# torch nn.TransformerEncoderLayer init, for modules the reference builds
+# from torch's stock layer and trains FROM SCRATCH (the MMR TXT decoder,
+# reference model.py:543-546). Init distribution is NOT cosmetic there —
+# see the measured stall note at models/mmr.py TORCH_KERNEL_INIT. torch's
+# MultiheadAttention xavier_uniform-inits the COMBINED (3E, E) in_proj, so
+# the per-projection bound is sqrt(6/(E+3E)) == variance_scaling(0.5,
+# fan_avg, uniform); out_proj/linear kernels are kaiming_uniform(a=sqrt(5))
+# == variance_scaling(1/3, fan_in, uniform); attention biases are zeroed by
+# torch's reset, linear biases are U(+-1/sqrt(fan_in)).
+_TORCH_QKV_INIT = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
+_TORCH_LINEAR_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class MultiHeadAttention(nn.Module):
     """Standard MHA with separate q/k/v/out projections (HF layout)."""
 
@@ -72,11 +95,16 @@ class MultiHeadAttention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, bias=None):
         d_model = self.num_heads * self.head_dim
-        dense = lambda name: nn.Dense(d_model, dtype=self.dtype, name=name)
+        qkv_kw = ({"kernel_init": _TORCH_QKV_INIT} if self.torch_init else {})
+        out_kw = ({"kernel_init": _TORCH_LINEAR_INIT} if self.torch_init
+                  else {})
+        dense = lambda name: nn.Dense(d_model, dtype=self.dtype, name=name,
+                                      **qkv_kw)
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
@@ -93,7 +121,8 @@ class MultiHeadAttention(nn.Module):
                 # HBM relayout copy on q/k/v/out fwd AND bwd at the Pallas
                 # call boundary (15.4 ms of the 230 ms Base step, profiled)
                 out = flash_attention_packed(q, k, v, self.num_heads)
-                return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+                return nn.Dense(d_model, dtype=self.dtype, name="out",
+                                **out_kw)(out)
 
         def split(t):
             b, s, _ = t.shape
@@ -103,23 +132,28 @@ class MultiHeadAttention(nn.Module):
                                     impl=self.attn_impl)
         b, h, s, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+        return nn.Dense(d_model, dtype=self.dtype, name="out", **out_kw)(out)
 
 
 class _DenseParams(nn.Module):
     """Declares an nn.Dense-compatible {kernel, bias} param pair without
     binding the compute, so MLPBlock can route the math to a fused Pallas
     kernel. Param tree/init are bit-identical to nn.Dense (lecun_normal /
-    zeros, f32 param dtype) — checkpoints and the HF port are unaffected."""
+    zeros, f32 param dtype) — checkpoints and the HF port are unaffected.
+    ``torch_init=True`` switches to torch nn.Linear defaults (same tree)."""
 
     features: int
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, in_features: int):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,))
+        if self.torch_init:
+            kinit, binit = _TORCH_LINEAR_INIT, _torch_bias_init(in_features)
+        else:
+            kinit = nn.initializers.lecun_normal()
+            binit = nn.initializers.zeros_init()
+        kernel = self.param("kernel", kinit, (in_features, self.features))
+        bias = self.param("bias", binit, (self.features,))
         return kernel, bias
 
 
@@ -166,12 +200,14 @@ class MLPBlock(nn.Module):
     act: str
     dtype: jnp.dtype = jnp.float32
     mlp_impl: Optional[str] = None
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x):
-        w1, b1 = _DenseParams(self.intermediate_size, name="fc1")(x.shape[-1])
-        w2, b2 = _DenseParams(self.hidden_size, name="fc2")(
-            self.intermediate_size)
+        w1, b1 = _DenseParams(self.intermediate_size, self.torch_init,
+                              name="fc1")(x.shape[-1])
+        w2, b2 = _DenseParams(self.hidden_size, self.torch_init,
+                              name="fc2")(self.intermediate_size)
         n_rows = 1
         for s in x.shape[:-1]:
             n_rows *= s
@@ -203,14 +239,16 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     deterministic: bool = True
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, bias=None):
         hidden = self.num_heads * self.head_dim
         attn = MultiHeadAttention(self.num_heads, self.head_dim, self.dtype,
-                                  self.attn_impl, name="attn")
+                                  self.attn_impl, self.torch_init,
+                                  name="attn")
         mlp = MLPBlock(self.intermediate_size, hidden, self.act, self.dtype,
-                       name="mlp")
+                       torch_init=self.torch_init, name="mlp")
         ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
         drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
@@ -254,12 +292,14 @@ class TransformerEncoder(nn.Module):
     deterministic: bool = True
     remat: bool = False
     scan_layers: bool = False
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, bias=None):
         args = (self.num_heads, self.head_dim, self.intermediate_size,
                 self.act, self.layer_norm_eps, self.pre_norm, self.dropout,
-                self.dtype, self.attn_impl, self.deterministic)
+                self.dtype, self.attn_impl, self.deterministic,
+                self.torch_init)
         if self.scan_layers:
             # remat with a dots-saveable policy: matmul outputs are saved,
             # elementwise work recomputes in bwd. Without it, nn.scan stacks

@@ -276,6 +276,11 @@ class TXTDecoder(nn.Module):
             dropout=cfg.decoder_dropout,
             dtype=self.dtype,
             deterministic=self.deterministic,
+            # trained from scratch (unlike the HF towers, which port
+            # pretrained weights): match torch nn.TransformerEncoderLayer's
+            # init so the from-scratch trajectory matches the reference's —
+            # the same init-distribution effect the conv decoders measured
+            torch_init=True,
             name="decoder",
         )(x)
         # torch kernel init; the bias is explicitly ZERO-initialized in the

@@ -227,17 +227,30 @@ def export_from_step(ckpt_dir: str, tag: str, state,
     Orbax step instead of live device state — the deferred-export path
     (pretrain --export_mode final). Eager mode pays a synchronous
     device->host copy of the full param tree on EVERY best-val epoch; this
-    pays it once, at the end of training, from disk (no device involved
-    beyond restore). Multi-process: restore + _host_params are collectives —
-    call from all processes; only process 0 writes files."""
+    pays it once, at the end of training, from disk.
+
+    Restores the params subtree ONLY, straight to host numpy: no optimizer
+    state is read from disk and no device memory is touched — at the end of
+    a Large final-mode run the live state (~9 GB params+moments) is still
+    resident, and a second full-TrainState device restore would OOM 16 GB
+    HBM. ``state`` may be a TrainState or a bare params tree/template
+    (abstract ShapeDtypeStructs work — only the tree structure is used)."""
+    import orbax.checkpoint as ocp
+
     if step is None:
         step = latest_step(ckpt_dir, tag)
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}/{tag}")
-    restored = restore_state(ckpt_dir, tag, state, step=step)
-    host_params = _host_params(restored.params)
+    path = os.path.abspath(os.path.join(ckpt_dir, tag, "state", str(step)))
+    item = {"params": state.params if hasattr(state, "params") else state}
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as pc:
+        restored = pc.restore(path, args=ocp.args.PyTreeRestore(
+            item=item,
+            restore_args=jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item),
+            partial_restore=True))
     if jax.process_index() == 0:
-        export_towers(ckpt_dir, tag, host_params)
+        export_towers(ckpt_dir, tag, restored["params"])
     return int(step)
 
 

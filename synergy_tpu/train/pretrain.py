@@ -393,10 +393,16 @@ def main(argv=None):
                     # writes in the background
                     min_loss = val_loss
                     best_step = int(state.step)
+                    # pin the best-val Orbax step from pruning only in
+                    # deferred-export mode, where it must survive until the
+                    # end-of-training export_from_step; in eager mode the
+                    # tower export is written NOW, so --keep_checkpoints
+                    # keeps its advertised "newest N" semantics
+                    pin = best_step if args.export_mode == "final" else None
                     ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
                                     export=args.export_mode == "eager",
                                     keep=args.keep_checkpoints,
-                                    pin_step=best_step)
+                                    pin_step=pin)
                     ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                    _meta(next_epoch=epoch + 1))
                     if is_primary():
@@ -406,9 +412,11 @@ def main(argv=None):
                 # full state only (export=False): the per-modality export
                 # stays the best-validation one; --resume picks up whichever
                 # state step is newest (best-val or periodic)
-                ckpt.save_state(args.ckpt_dir, tag, state, async_save=True,
-                                export=False, keep=args.keep_checkpoints,
-                                pin_step=best_step)
+                ckpt.save_state(
+                    args.ckpt_dir, tag, state, async_save=True, export=False,
+                    keep=args.keep_checkpoints,
+                    pin_step=(best_step if args.export_mode == "final"
+                              else None))
                 ckpt.save_meta(args.ckpt_dir, tag, int(state.step),
                                _meta(next_epoch=epoch + 1))
             if args.log_file and is_primary():

@@ -484,3 +484,18 @@ def test_microbatcher_concurrent_mixed_load_no_starvation(engine, rng):
                 assert spans[m1][0] <= spans[m2][1] and \
                     spans[m2][0] <= spans[m1][1], (spans, m1, m2)
     b.close()
+
+
+def test_wrong_size_checkpoint_fails_fast(engine, tmp_path):
+    """A size-mismatched checkpoint (tiny export loaded into a base engine)
+    must raise the actionable ValueError at construction, not a flax scope
+    shape error at first jitted apply (serve.py guard)."""
+    import jax.numpy as jnp
+
+    from synergy_tpu.train import checkpoint as ckpt
+
+    ckpt.export_towers(str(tmp_path), ckpt.size_tag(True, False),
+                       engine.params)  # tiny-dim export under the base tag
+    with pytest.raises(ValueError, match="wrong size"):
+        EmbeddingEngine(ckpt_dir=str(tmp_path), is_base=True,
+                        dtype=jnp.float32)

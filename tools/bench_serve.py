@@ -121,6 +121,8 @@ def bench_http_concurrent(engine, n_clients: int, per_client: int,
     try:
         engine.warmup(("text",))  # every bucket compiled BEFORE timing
         client(0)
+        # snapshot AFTER warmup so engine_calls counts the timed phase only
+        calls0 = server.batcher.calls if server.batcher else 0
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(n_clients)]
         t0 = time.perf_counter()
@@ -134,7 +136,8 @@ def bench_http_concurrent(engine, n_clients: int, per_client: int,
         if server.batcher is not None:
             server.batcher.close()
     rps = n_clients * per_client / dt
-    calls = server.batcher.calls if server.batcher else n_clients * per_client
+    calls = (server.batcher.calls - calls0 if server.batcher
+             else n_clients * per_client)
     print(json.dumps({"metric": "serve_http_concurrent_rps",
                       "window_ms": window_ms, "clients": n_clients,
                       "value": round(rps, 1), "engine_calls": calls,
@@ -191,6 +194,8 @@ def bench_http_mixed(engine, n_per_modality: int, per_client: int,
             client(m)
         for m in bodies:
             lat[m].clear()
+        # snapshot AFTER warmup so engine_calls counts the timed phase only
+        calls0 = server.batcher.calls if server.batcher else 0
         threads = [threading.Thread(target=client, args=(m,))
                    for m in bodies for _ in range(n_per_modality)]
         t0 = time.perf_counter()
@@ -207,7 +212,8 @@ def bench_http_mixed(engine, n_per_modality: int, per_client: int,
     row = {"metric": "serve_http_mixed_rps", "window_ms": window_ms,
            "clients_per_modality": n_per_modality,
            "value": round(total / dt, 1),
-           "engine_calls": server.batcher.calls if server.batcher else total}
+           "engine_calls": (server.batcher.calls - calls0
+                            if server.batcher else total)}
     for m, xs in lat.items():
         xs.sort()
         row[f"{m}_p50_ms"] = round(xs[len(xs) // 2] * 1e3, 1)
