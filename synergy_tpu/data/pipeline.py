@@ -132,30 +132,63 @@ class CSVTriModalDataset:
                               text=self._text_for(row, pyrng))
 
 
+def synthetic_class_patterns(n_classes: int) -> np.ndarray:
+    """(n_classes, 8, 8, 3) float32 color-block pattern per class.
+
+    Keyed by the CLASS COUNT alone so every consumer — the pretraining
+    synthetic dataset (class_images mode) and the eval fallbacks
+    (eval/data._synthetic_images) — regenerates the identical table without
+    sharing state. This is what makes synthetic zero-shot TRANSFER testable:
+    stage-1 pretraining and the ZS eval sets see the same visual world."""
+    return np.random.default_rng(n_classes).random(
+        (n_classes, 8, 8, 3)).astype(np.float32)
+
+
+def synthetic_class_tone(cls: int) -> float:
+    """Per-class pure-tone frequency (Hz), shared with eval/data."""
+    return 150.0 + 60.0 * cls
+
+
 class SyntheticTriModalDataset:
     """Deterministic synthetic triplets (structured noise + template text) for
-    environments without the VGGSound data."""
+    environments without the VGGSound data.
+
+    ``class_images=False`` (default): each sample gets its OWN random 8x8
+    color-block image — instance-level signal, the regime the contrastive
+    integration tests train on. ``class_images=True``: images (and tone
+    frequencies) come from the split-invariant per-CLASS tables above, so a
+    stage-1 checkpoint transfers to the ``synthetic-vgg`` zero-shot sets."""
 
     LABELS = [
         "dog barking", "playing violin", "church bells", "rain",
         "sea waves", "fireworks", "driving motorcycle", "cat purring",
     ]
 
-    def __init__(self, size: int = 512, is_captioned: bool = False, seed: int = 0):
+    def __init__(self, size: int = 512, is_captioned: bool = False, seed: int = 0,
+                 class_images: bool = False):
         self.size = size
         self.is_captioned = is_captioned
         self.seed = seed
+        self.class_images = class_images
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int) -> TriModalSample:
         rng = np.random.default_rng(self.seed * 100003 + idx)
-        label = self.LABELS[idx % len(self.LABELS)]
+        cls = idx % len(self.LABELS)
+        label = self.LABELS[cls]
         # class-correlated image and tone so contrastive losses can move
-        base = rng.random((8, 8, 3)).astype(np.float32)
+        if self.class_images:
+            base = synthetic_class_patterns(len(self.LABELS))[cls]
+            base = np.clip(
+                base + 0.1 * rng.standard_normal((8, 8, 3)).astype(np.float32),
+                0.0, 1.0)
+            freq = synthetic_class_tone(cls)
+        else:
+            base = rng.random((8, 8, 3)).astype(np.float32)
+            freq = 200.0 + 50.0 * cls
         image = np.kron(base, np.ones((28, 28, 1), np.float32))
-        freq = 200.0 + 50.0 * (idx % len(self.LABELS))
         t = np.arange(WAVE_SAMPLES, dtype=np.float32) / 16000.0
         wave = 0.1 * np.sin(2 * np.pi * freq * t).astype(np.float32)
         wave += 0.01 * rng.standard_normal(WAVE_SAMPLES).astype(np.float32)

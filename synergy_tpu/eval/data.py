@@ -22,6 +22,9 @@ from typing import List, Optional
 
 import numpy as np
 
+from synergy_tpu.data.pipeline import (
+    SyntheticTriModalDataset, synthetic_class_patterns, synthetic_class_tone,
+)
 from synergy_tpu.eval import labels as L
 
 # The reference spells image dataset names 'CIFAR-10' / 'Flowers-102' /
@@ -58,9 +61,10 @@ def _synthetic_images(label_names, n=256, size=64, seed=0) -> ImageSet:
     labels = rng.integers(0, len(label_names), n)
     # class patterns are a property of the CLASS, not the split: train
     # (seed=S) and test (seed=S+1) must share them or the task is
-    # unlearnable by construction (an FT probe would score below chance)
-    base = np.random.default_rng(len(label_names)).random(
-        (len(label_names), 8, 8, 3)).astype(np.float32)
+    # unlearnable by construction (an FT probe would score below chance).
+    # The table is the SAME one SyntheticTriModalDataset(class_images=True)
+    # trains on, which is what makes synthetic-vgg zero-shot transfer real.
+    base = synthetic_class_patterns(len(label_names))
     reps = size // 8
     imgs = np.stack([
         np.clip(np.kron(base[l], np.ones((reps, reps, 1), np.float32))
@@ -75,7 +79,7 @@ def _synthetic_audio(label_names, n=200, seconds=2.0, seed=0) -> AudioSet:
     labels = rng.integers(0, len(label_names), n)
     t = np.arange(int(16000 * seconds), dtype=np.float32) / 16000.0
     waves = [
-        (0.1 * np.sin(2 * np.pi * (150 + 60 * l) * t)
+        (0.1 * np.sin(2 * np.pi * synthetic_class_tone(l) * t)
          + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
         for l in labels]
     folds = (np.arange(n) % 5) + 1
@@ -137,6 +141,11 @@ def _load_imagefolder(root: str, name: str, split: str,
 def load_image_dataset(name: str, root: str = "data",
                        split: str = "test", seed: int = 0) -> ImageSet:
     name = name.lower()
+    if name == "synthetic-vgg":
+        # The pretraining synthetic world (class_images mode): a held-out
+        # draw from the SAME per-class pattern table a stage-1 run trained
+        # on, so zero-shot transfer is measurable without VGGSound media.
+        return _synthetic_images(SyntheticTriModalDataset.LABELS, seed=seed)
     if name in ("cifar-10", "cifar-100"):
         ds = _load_cifar_pickles(root, name, split)
         if ds is not None:
@@ -155,6 +164,8 @@ def load_audio_dataset(name: str, root: str = "data", seed: int = 0) -> AudioSet
     from synergy_tpu.data.audio import read_wav, resample
 
     name = name.lower()
+    if name == "synthetic-vgg":
+        return _synthetic_audio(SyntheticTriModalDataset.LABELS, seed=seed)
     if name == "esc50":
         meta = os.path.join(root, "meta", "esc50.csv")
         audio_dir = os.path.join(root, "audio")

@@ -31,7 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--IS_BASE", type=str2bool, default=True)
     p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
     p.add_argument("--DATASET", type=str, default="esc50",
-                   choices=["esc50", "urbansound8k"])
+                   choices=["esc50", "urbansound8k", "synthetic-vgg"])
     p.add_argument("--FOLD", type=int, default=None)
     p.add_argument("--try_num", type=int, default=128)
     p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")

@@ -33,7 +33,7 @@ def parse_args(argv=None):
     p.add_argument("--DATASET", type=canonical_dataset_name,
                    default="cifar-10",
                    choices=["cifar-10", "cifar-100", "pets", "flowers",
-                            "imagenet"])
+                            "imagenet", "synthetic-vgg"])
     p.add_argument("--try_num", type=int, default=128)  # ZS protocol
     p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
     p.add_argument("--data_root", type=str, default="data")

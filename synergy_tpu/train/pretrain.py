@@ -92,6 +92,10 @@ def parse_args(argv=None):
     p.add_argument("--test_csv", type=str, default="vgg_sound_test_captioned.csv")
     p.add_argument("--synthetic", type=str2bool, default=False)
     p.add_argument("--synthetic_size", type=int, default=256)
+    p.add_argument("--synthetic_class_images", type=str2bool, default=False,
+                   help="synthetic triplets draw images/tones from the "
+                        "split-invariant per-CLASS tables (the synthetic-vgg "
+                        "zero-shot world) instead of per-sample noise")
     p.add_argument("--batch_size", type=int, default=None,
                    help="global batch; default reference per-device x devices")
     p.add_argument("--accum_steps", type=int, default=None)
@@ -156,9 +160,11 @@ def build_datasets(args):
         if not args.synthetic:
             print(f"[pretrain] {args.train_csv} not found -> synthetic data")
         train = SyntheticTriModalDataset(args.synthetic_size, args.IS_CAPTIONED,
-                                         seed=args.SEED)
+                                         seed=args.SEED,
+                                         class_images=args.synthetic_class_images)
         valid = SyntheticTriModalDataset(max(32, args.synthetic_size // 8),
-                                         args.IS_CAPTIONED, seed=args.SEED + 1)
+                                         args.IS_CAPTIONED, seed=args.SEED + 1,
+                                         class_images=args.synthetic_class_images)
     else:
         train = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
                                    augment_audio=True, seed=args.SEED)
