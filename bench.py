@@ -38,6 +38,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=None, help="per-chip batch")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "update (the reference trains Base at 35/4 and "
+                        "Large at 14/8, main_pretraining.py:79-80); each "
+                        "bench step is ONE microbatch")
     p.add_argument("--mode", choices=["train", "infer", "preprocess"],
                    default="train")
     p.add_argument("--size", choices=["base", "large"], default="base")
@@ -106,12 +111,19 @@ def main():
         "input_values": jnp.asarray(rng.standard_normal(
             (batch, cfg.audio.max_length, cfg.audio.num_mel_bins)), jnp.float32),
     }
-    tcfg = TrainConfig(per_device_batch=batch // n_dev, accum_steps=1)
+    tcfg = TrainConfig(per_device_batch=batch // n_dev,
+                       accum_steps=args.accum)
     state = create_train_state(jax.random.PRNGKey(0), model, tcfg, batch_np)
 
     if args.mode == "train":
         # K steps inside ONE device program (lax.scan): measures pure device
-        # throughput, immune to per-dispatch tunnel latency.
+        # throughput, immune to per-dispatch tunnel latency. With --accum k,
+        # each scan iteration is one microbatch and every k-th applies the
+        # optimizer (optax.MultiSteps), so steps should be a multiple of k
+        # to time whole update cycles.
+        if args.accum > 1 and args.steps % args.accum:
+            raise SystemExit(f"--steps {args.steps} must be a multiple of "
+                             f"--accum {args.accum}")
         base_step = make_train_step(model, tcfg)
 
         def run_k(state, k):
@@ -158,6 +170,16 @@ def main():
         # 1,327 GF trained per Large triplet (ViT-L/14 257 tok 162 GF +
         # RoBERTa-large 19 GF + AST-1214 261 GF fwd, x3 for training)
         record["mfu"] = round(per_chip * 1327e9 / 197e12, 4)
+    if args.accum > 1:
+        record["accum"] = args.accum
+    try:  # HBM headroom (TPU runtime exposes per-device memory stats)
+        stats = jax.local_devices()[0].memory_stats()
+        record["hbm_peak_gb"] = round(
+            stats["peak_bytes_in_use"] / 2**30, 2)
+        record["hbm_limit_gb"] = round(
+            stats["bytes_limit"] / 2**30, 2)
+    except Exception:
+        pass
     print(json.dumps(record))
 
 

@@ -132,16 +132,22 @@ class CSVTriModalDataset:
                               text=self._text_for(row, pyrng))
 
 
-def synthetic_class_patterns(n_classes: int) -> np.ndarray:
+def synthetic_class_patterns(label_names) -> np.ndarray:
     """(n_classes, 8, 8, 3) float32 color-block pattern per class.
 
-    Keyed by the CLASS COUNT alone so every consumer — the pretraining
-    synthetic dataset (class_images mode) and the eval fallbacks
-    (eval/data._synthetic_images) — regenerates the identical table without
-    sharing state. This is what makes synthetic zero-shot TRANSFER testable:
-    stage-1 pretraining and the ZS eval sets see the same visual world."""
-    return np.random.default_rng(n_classes).random(
-        (n_classes, 8, 8, 3)).astype(np.float32)
+    Keyed by the LABEL NAMES (stable CRC32 of the joined list), so every
+    consumer — the pretraining synthetic dataset (class_images mode) and the
+    eval fallbacks (eval/data._synthetic_images) — regenerates the identical
+    table without sharing state, and two UNRELATED datasets that merely share
+    a class count get independent visual worlds. This is what makes synthetic
+    zero-shot TRANSFER testable: stage-1 pretraining and the ZS eval sets see
+    the same visual world iff they name the same classes."""
+    import zlib
+
+    names = list(label_names)
+    key = zlib.crc32("\n".join(str(n) for n in names).encode("utf-8"))
+    rng = np.random.default_rng(np.random.SeedSequence([len(names), key]))
+    return rng.random((len(names), 8, 8, 3)).astype(np.float32)
 
 
 def synthetic_class_tone(cls: int) -> float:
@@ -170,6 +176,10 @@ class SyntheticTriModalDataset:
         self.is_captioned = is_captioned
         self.seed = seed
         self.class_images = class_images
+        # built once: regenerating the table per __getitem__ cost a fresh
+        # RNG + (n, 8, 8, 3) draw in the host loader hot path
+        self._patterns = (synthetic_class_patterns(self.LABELS)
+                          if class_images else None)
 
     def __len__(self) -> int:
         return self.size
@@ -180,7 +190,7 @@ class SyntheticTriModalDataset:
         label = self.LABELS[cls]
         # class-correlated image and tone so contrastive losses can move
         if self.class_images:
-            base = synthetic_class_patterns(len(self.LABELS))[cls]
+            base = self._patterns[cls]
             base = np.clip(
                 base + 0.1 * rng.standard_normal((8, 8, 3)).astype(np.float32),
                 0.0, 1.0)

@@ -83,19 +83,20 @@ class TextClassifier(nn.Module):
 def init_from_export(params: Dict[str, Any], ckpt_dir: str, tag: str,
                      modality: str, use_projection: bool = True):
     """Insert the exported tower (+ projection head) into fresh classifier
-    params (the C12 load contract). Returns params unchanged if no checkpoint
-    exists (random towers — still runnable)."""
+    params (the C12 load contract). Returns (params, weights_provenance);
+    params come back unchanged if no checkpoint exists (random towers —
+    still runnable) and the provenance string says so."""
     try:
         tower, head = ckpt.load_tower(ckpt_dir, tag, modality)
     except (FileNotFoundError, OSError):
         print(f"[eval] WARNING: no exported {modality} tower under "
               f"{ckpt_dir}/{tag}; using random init")
-        return params
+        return params, "random-init"
     params = dict(params)
     params["tower"] = tower
     if use_projection and "projection" in params:
         params["projection"] = head
-    return params
+    return params, f"checkpoint:{ckpt_dir}/{tag}"
 
 
 def softmax_cross_entropy(logits, labels):

@@ -64,7 +64,7 @@ def _synthetic_images(label_names, n=256, size=64, seed=0) -> ImageSet:
     # unlearnable by construction (an FT probe would score below chance).
     # The table is the SAME one SyntheticTriModalDataset(class_images=True)
     # trains on, which is what makes synthetic-vgg zero-shot transfer real.
-    base = synthetic_class_patterns(len(label_names))
+    base = synthetic_class_patterns(label_names)
     reps = size // 8
     imgs = np.stack([
         np.clip(np.kron(base[l], np.ones((reps, reps, 1), np.float32))

@@ -106,7 +106,8 @@ def main(argv=None):
     sample = jnp.zeros((1, cfg.audio.max_length, cfg.audio.num_mel_bins))
     params = jax.jit(model.init)(jax.random.PRNGKey(args.SEED), sample)["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
-    params = init_from_export(params, args.ckpt_dir, tag, "audio")
+    params, weights_prov = init_from_export(params, args.ckpt_dir, tag,
+                                            "audio")
 
     metrics = finetune_classifier(
         model, params, train_x, train_y, (test_x,), test_y,
@@ -117,9 +118,11 @@ def main(argv=None):
     acc = metrics["accuracy"]
     print(f"[ft_audio] {args.DATASET} fold={args.FOLD} accuracy={acc:.2f}"
           + (" (synthetic data)" if ds.synthetic else ""))
-    metrics_io.save_metric(args.metric_path, tag,
-                           f"{args.DATASET}_fold{args.FOLD}", args.SEED,
-                           {"accuracy": acc})
+    metrics_io.save_metric(
+        args.metric_path, tag, f"{args.DATASET}_fold{args.FOLD}", args.SEED,
+        {"accuracy": acc},
+        provenance=f"weights={weights_prov}; "
+                   f"data={'synthetic' if ds.synthetic else 'real'}")
     return metrics
 
 

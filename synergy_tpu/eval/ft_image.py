@@ -102,7 +102,8 @@ def main(argv=None):
     sample = jnp.zeros((1, 3, size, size))
     params = jax.jit(model.init)(jax.random.PRNGKey(args.SEED), sample)["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
-    params = init_from_export(params, args.ckpt_dir, tag, "vision")
+    params, weights_prov = init_from_export(params, args.ckpt_dir, tag,
+                                            "vision")
 
     chain = FT_CHAINS[args.DATASET]
 
@@ -127,8 +128,10 @@ def main(argv=None):
     acc = metrics["accuracy"]
     print(f"[ft_image] {args.DATASET} accuracy={acc:.2f}"
           + (" (synthetic data)" if train.synthetic else ""))
-    metrics_io.save_metric(args.metric_path, tag, args.DATASET, args.SEED,
-                           {"accuracy": acc})
+    metrics_io.save_metric(
+        args.metric_path, tag, args.DATASET, args.SEED, {"accuracy": acc},
+        provenance=f"weights={weights_prov}; "
+                   f"data={'synthetic' if train.synthetic else 'real'}")
     return metrics
 
 

@@ -179,8 +179,8 @@ def main(argv=None):
                                  jnp.ones((1, seq), jnp.int32),
                                  jnp.ones((1, seq), jnp.int32))["params"]
     tag = size_tag(args.IS_BASE, args.IS_CAPTIONED)
-    params = init_from_export(params, args.ckpt_dir, tag, "text",
-                              use_projection=False)
+    params, weights_prov = init_from_export(params, args.ckpt_dir, tag,
+                                            "text", use_projection=False)
 
     labels_train = tr_l if not is_regression else tr_l.astype(np.float32)
     out = finetune_classifier(
@@ -206,7 +206,10 @@ def main(argv=None):
     print(f"[ft_text] {task} " +
           " ".join(f"{k}={v:.2f}" for k, v in scores.items()) +
           (" (synthetic data)" if synthetic else ""))
-    metrics_io.save_metric(args.metric_path, tag, task, args.SEED, scores)
+    metrics_io.save_metric(
+        args.metric_path, tag, task, args.SEED, scores,
+        provenance=f"weights={weights_prov}; "
+                   f"data={'synthetic' if synthetic else 'real'}")
     return scores
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -29,17 +29,50 @@ def load_metrics(path: str) -> Dict:
     return {}
 
 
+def _is_duplicate(entry: Dict, seed: int, scores: Dict[str, float]) -> bool:
+    """True if some prior run row is byte-identical to (seed, scores): same
+    seed AND every metric value equal at that row's index. Re-running the
+    identical eval is a no-op, not a new sample — duplicate appends silently
+    sharpen the reported std toward zero (a real round-3/4 artifact bug:
+    ZS_OUR.json accumulated six copies of one seed-17 run)."""
+    new = {k: float(v) for k, v in scores.items()}
+    for i, s in enumerate(entry["seeds"]):
+        if s != seed:
+            continue
+        slots = entry["scores"]
+        if set(slots) != set(new):
+            continue
+        if all(i < len(slots[k]["values"]) and slots[k]["values"][i] == new[k]
+               for k in new):
+            return True
+    return False
+
+
 def save_metric(path: str, model_key: str, dataset: str, seed: int,
-                scores: Dict[str, float]) -> Dict:
+                scores: Dict[str, float],
+                provenance: Optional[str] = None) -> Dict:
     """Append one run's scores and refresh mean/std.
 
-    Layout: {model_key: {dataset: {"seeds": [...], "scores": {metric:
-    {"values": [...], "mean": m, "std": s}}}}}; ``model_key`` is the
-    reference's '{size}_{captiontype}' tag.
+    Layout: {model_key: {dataset: {"seeds": [...], "provenance": [...],
+    "scores": {metric: {"values": [...], "mean": m, "std": s}}}}};
+    ``model_key`` is the reference's '{size}_{captiontype}' tag.
+
+    ``provenance`` records where the weights/data came from (e.g.
+    "weights=random-init; data=synthetic") so a committed artifact can never
+    masquerade as a real-data result. Byte-identical (seed, scores) re-runs
+    are collapsed instead of appended.
     """
     data = load_metrics(path)
     entry = data.setdefault(model_key, {}).setdefault(dataset, _init_entry())
+    if _is_duplicate(entry, seed, scores):
+        print(f"[metrics] duplicate (seed={seed}) run for "
+              f"{model_key}/{dataset} in {path}: not appended")
+        return data
     entry["seeds"].append(seed)
+    if provenance is not None or "provenance" in entry:
+        prov = entry.setdefault("provenance", [])
+        prov.extend([None] * (len(entry["seeds"]) - 1 - len(prov)))
+        prov.append(provenance)
     for name, value in scores.items():
         slot = entry["scores"].setdefault(name, {"values": []})
         slot["values"].append(float(value))

@@ -24,7 +24,11 @@ from synergy_tpu.models.tri_clip import TriCLIP
 from synergy_tpu.train import checkpoint as ckpt
 
 
-def build_tri_clip(args) -> Tuple[TriCLIP, Dict]:
+def build_tri_clip(args) -> Tuple[TriCLIP, Dict, str]:
+    """Returns (model, params, weights_provenance) — the provenance string
+    ("checkpoint:<dir>/<tag>" or "random-init") flows into the metric-JSON
+    accumulator so committed artifacts can never pass random-weights numbers
+    off as trained results."""
     cfg = (CLIPConfig.tiny() if getattr(args, "tiny", False)
            else (CLIPConfig.base() if args.IS_BASE else CLIPConfig.large()))
     model = TriCLIP(cfg)
@@ -32,6 +36,7 @@ def build_tri_clip(args) -> Tuple[TriCLIP, Dict]:
     try:
         params = ckpt.load_tri_clip_params(args.ckpt_dir, tag)
         print(f"[zs] loaded checkpoint {args.ckpt_dir}/{tag}")
+        provenance = f"checkpoint:{args.ckpt_dir}/{tag}"
     except (FileNotFoundError, OSError):
         print(f"[zs] WARNING: no checkpoint under {args.ckpt_dir}/{tag}; "
               "random weights")
@@ -41,7 +46,8 @@ def build_tri_clip(args) -> Tuple[TriCLIP, Dict]:
         fb = jnp.zeros((1, cfg.audio.max_length, cfg.audio.num_mel_bins))
         params = jax.jit(model.init)(
             key, img, ids, jnp.ones((1, 8), jnp.int32), fb)["params"]
-    return model, params
+        provenance = "random-init"
+    return model, params, provenance
 
 
 def encode_prompts(model: TriCLIP, params, tokenizer, prompts: List[str],

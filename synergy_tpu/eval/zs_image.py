@@ -48,7 +48,7 @@ def main(argv=None):
     args = parse_args(argv)
     enable_compilation_cache()
     set_seed(args.SEED)
-    model, params = build_tri_clip(args)
+    model, params, weights_prov = build_tri_clip(args)
     cfg = model.config
     tokenizer = get_tokenizer(args.vocab_dir)
 
@@ -67,7 +67,9 @@ def main(argv=None):
 
     metrics_io.save_metric(
         args.metric_path, size_tag(args.IS_BASE, args.IS_CAPTIONED),
-        args.DATASET, args.SEED, metrics)
+        args.DATASET, args.SEED, metrics,
+        provenance=f"weights={weights_prov}; "
+                   f"data={'synthetic' if ds.synthetic else 'real'}")
     return metrics
 
 

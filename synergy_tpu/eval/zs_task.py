@@ -20,9 +20,15 @@ def parse_args(argv=None):
     p.add_argument("--IS_BASE", type=str2bool, default=True)
     p.add_argument("--IS_CAPTIONED", type=str2bool, default=False)
     p.add_argument("--DATASET", type=str, default="cifar-10",
-                   choices=["cifar-10", "cifar-100", "esc50", "urbansound8k"])
+                   choices=["cifar-10", "cifar-100", "esc50", "urbansound8k",
+                            "synthetic-vgg"],
+                   help="reference keys (ZS/ZS_task.py:379-396) plus our "
+                        "synthetic-vgg world — the only set a checkpoint "
+                        "pretrained in this data-blocked environment can "
+                        "score above chance on")
     p.add_argument("--MM", type=str, default=None, choices=["IT", "TA"],
-                   help="defaults to IT for image sets, TA for audio sets")
+                   help="defaults to IT for image sets, TA for audio sets; "
+                        "synthetic-vgg supports both")
     p.add_argument("--FOLD", type=int, default=None)
     p.add_argument("--try_num", type=int, default=128)
     p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
@@ -37,6 +43,8 @@ def main(argv=None):
     enable_compilation_cache()
     is_audio = args.DATASET in ("esc50", "urbansound8k")
     mm = args.MM or ("TA" if is_audio else "IT")
+    if args.DATASET == "synthetic-vgg":
+        is_audio = mm == "TA"  # the synthetic world carries both modalities
     sub_argv = [
         "--SEED", str(args.SEED), "--IS_BASE", str(args.IS_BASE),
         "--IS_CAPTIONED", str(args.IS_CAPTIONED), "--DATASET", args.DATASET,

@@ -67,6 +67,11 @@ def parse_args(argv=None):
     # ours
     p.add_argument("--train_csv", type=str, default="vgg_sound_train_captioned.csv")
     p.add_argument("--synthetic", type=str2bool, default=False)
+    p.add_argument("--synthetic_class_images", type=str2bool, default=False,
+                   help="draw the synthetic batch from the per-CLASS pattern "
+                        "world (the one stage-1 synthetic pretraining learns "
+                        "to separate) instead of instance-level patterns — "
+                        "the regime for testing trained-tower conditioning")
     p.add_argument("--batch_size", type=int, default=32)  # main_MMR.py:52
     p.add_argument("--single_batch", type=str2bool, default=True)
     p.add_argument("--ckpt_dir", type=str, default="synergy_ckpt")
@@ -164,7 +169,8 @@ def make_loader(args, recon_cfg, tokenizer, seq_len: int):
     mode it holds several and drop_last keeps shapes static."""
     if args.synthetic or not os.path.exists(args.train_csv):
         size = args.batch_size if args.single_batch else args.batch_size * 4
-        ds = SyntheticTriModalDataset(size, args.IS_CAPTIONED, seed=args.SEED)
+        ds = SyntheticTriModalDataset(size, args.IS_CAPTIONED, seed=args.SEED,
+                                      class_images=args.synthetic_class_images)
     else:
         cate = CATE_IDX[args.IDX] if os.path.exists("vgg_category.json") else None
         ds = CSVTriModalDataset(args.train_csv, args.IS_CAPTIONED,
@@ -338,25 +344,31 @@ def main(argv=None):
         infer = ImgAud2Txt(recon_cfg, dtype, deterministic=True)  # BN eval mode
     recon = infer.apply({"params": w_params, "batch_stats": w_stats}, *feats)
     rng = pyrandom.Random(args.SEED)
+    result = {"params": w_params}
     if args.MM == "img":
         lab = resize_bicubic(label, recon.shape[-2:])
         p = float(psnr_fn(recon, lab))
         s = float(ssim_fn(recon, lab, data_range=1.0))
         print(f"psnr_score : {p:.3f} | ssim_score : {s:.4f}")
+        result.update(psnr=p, ssim=s, mse=float(jnp.mean((recon - lab) ** 2)),
+                      label_var=float(jnp.var(lab)))
     elif args.MM == "aud":
         lab = resize_bicubic(label[:, None], recon.shape[-2:])[:, 0]
         p = float(psnr_fn(recon[:, None], lab[:, None]))
         s = float(ssim_fn(recon[:, None], lab[:, None], data_range=1.0))
         print(f"psnr_score : {p:.3f} | ssim_score : {s:.4f}")
+        result.update(psnr=p, ssim=s, mse=float(jnp.mean((recon - lab) ** 2)),
+                      label_var=float(jnp.var(lab)))
     else:
         lab = label
         acc = float(jnp.mean((jnp.argmax(recon, -1) == label).astype(jnp.float32)))
         print(f"accuracy : {acc:.4f} | bleu : {0:.4f}")
+        result.update(accuracy=acc)
     for _ in range(args.deploy_samples):
         deploy(args.MM, model_sz, text_des, np.asarray(recon), np.asarray(lab),
                tokenizer, idx=rng.randint(0, recon.shape[0] - 1), cate=args.IDX,
                out_root=args.out_dir)
-    return w_params
+    return result
 
 
 if __name__ == "__main__":

@@ -42,6 +42,34 @@ def test_metrics_io_accumulates(tmp_path):
     assert json.load(open(p))
 
 
+def test_metrics_io_collapses_duplicates_and_records_provenance(tmp_path):
+    """Re-running the identical eval must NOT append a duplicate row (the
+    round-3/4 ZS_OUR.json artifact had six copies of one seed-17 run, which
+    silently drove the reported std to zero), and a provenance string rides
+    along per run so random-weights numbers can't pose as trained results."""
+    from synergy_tpu.eval.metrics_io import save_metric
+
+    p = str(tmp_path / "M.json")
+    prov = "weights=random-init; data=synthetic"
+    for _ in range(6):  # identical (seed, scores) re-runs collapse to one row
+        data = save_metric(p, "base_prompt", "cifar-10", 17,
+                           {"top1": 12.5, "top5": 37.5}, provenance=prov)
+    entry = data["base_prompt"]["cifar-10"]
+    assert entry["seeds"] == [17]
+    assert entry["provenance"] == [prov]
+    assert entry["scores"]["top1"]["values"] == [12.5]
+
+    # same seed with DIFFERENT scores is a legitimate new sample
+    data = save_metric(p, "base_prompt", "cifar-10", 17, {"top1": 50.0,
+                                                          "top5": 80.0},
+                       provenance="weights=checkpoint:ck/base_prompt; "
+                                  "data=synthetic")
+    entry = data["base_prompt"]["cifar-10"]
+    assert entry["seeds"] == [17, 17]
+    assert len(entry["provenance"]) == 2
+    assert entry["scores"]["top1"]["values"] == [12.5, 50.0]
+
+
 def test_glue_metric_functions():
     from synergy_tpu.eval.ft_text import (
         f1_score, matthews_corr, pearson_spearman,

@@ -139,6 +139,42 @@ def test_pretrain_transfers_to_zero_shot(tmp_path):
     assert ma["top1"] >= 25.0, ma
 
 
+@pytest.mark.slow
+def test_pretrain_chains_into_mmr(tmp_path, capsys):
+    """The full two-stage reference workflow (main_pretraining.py ->
+    main_MMR.py:87-109): stage-1 pretraining on the class-patterned synthetic
+    world, then the stage-2 MMR CLI LOADS that checkpoint's towers (not
+    random init) and trains its single-batch regime on the same world.
+    Closes the round-4 gap: every previous MMR endpoint used random frozen
+    towers even though train/mmr.py could load trained ones."""
+    from synergy_tpu.train.mmr import main as mmr_main
+    from synergy_tpu.train.pretrain import main as pre_main
+
+    ck = str(tmp_path / "ck")
+    # IS_CAPTIONED on BOTH stages: the tower-export tag is
+    # '{size}_{captiontype}', and stage 2 only finds stage 1's towers under
+    # the same tag (the reference's MMR stage trains on the captioned
+    # dataset, main_MMR.py:87)
+    pre_main([
+        "--tiny", "true", "--synthetic", "true", "--IS_CAPTIONED", "true",
+        "--synthetic_class_images", "true", "--synthetic_size", "32",
+        "--epochs", "1", "--steps_per_epoch", "4", "--batch_size", "8",
+        "--accum_steps", "1", "--learning_rate", "3e-3",
+        "--ckpt_dir", ck, "--dtype", "float32",
+    ])
+    capsys.readouterr()
+    res = mmr_main([
+        "--tiny", "true", "--synthetic", "true", "--IS_CAPTIONED", "true",
+        "--synthetic_class_images", "true", "--MM", "img",
+        "--epochs", "4", "--batch_size", "8", "--deploy_samples", "1",
+        "--ckpt_dir", ck, "--out_dir", str(tmp_path / "inf"),
+    ])
+    out = capsys.readouterr().out
+    assert "loaded stage-1 towers" in out, out  # NOT the random-towers path
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["mse"])
+    assert res["label_var"] > 0
+
+
 def _make_vgg_fixture(d):
     """Realistic on-disk VGGSound-style fixture: 24 JPEG/WAV rows split into
     train/valid CSVs. Returns (train_csv, valid_csv)."""

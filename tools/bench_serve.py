@@ -232,6 +232,9 @@ def main():
     p.add_argument("--per_client", type=int, default=25)
     p.add_argument("--window_ms", type=float, default=2.0)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--size", choices=["tiny", "base", "large"], default=None,
+                   help="model config; --size large serves the ViT-L/14 + "
+                        "RoBERTa-large + AST-1214 towers")
     args = p.parse_args()
 
     from synergy_tpu.serve import EmbeddingEngine
@@ -240,7 +243,9 @@ def main():
     enable_compilation_cache()
     import jax
 
-    engine = EmbeddingEngine(tiny=args.tiny, max_batch=args.batch)
+    size = args.size or ("tiny" if args.tiny else "base")
+    engine = EmbeddingEngine(tiny=size == "tiny", is_base=size != "large",
+                             max_batch=args.batch)
     print(f"backend={jax.default_backend()} checkpoint={engine.loaded_from}",
           flush=True)
     rows = bench_engine(engine, args.batch, args.iters)
