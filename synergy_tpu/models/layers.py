@@ -8,6 +8,7 @@ they differ only in norm placement and activation.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -63,6 +64,86 @@ ACTIVATIONS = {
     "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
 }
+
+
+def _ln_fwd_impl(x, scale, bias, eps):
+    # flax nn.LayerNorm numerics: stats in f32 (flax _compute_stats upcasts),
+    # normalize + affine in f32, result cast back to the input dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, -1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    y = xc * r * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype), (x, mu, r)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_saved(x, scale, bias, eps):
+    return _ln_fwd_impl(x, scale, bias, eps)[0]
+
+
+def _ln_saved_fwd(x, scale, bias, eps):
+    y, (x_, mu, r) = _ln_fwd_impl(x, scale, bias, eps)
+    return y, (x_, mu, r, scale)
+
+
+def _ln_saved_bwd(eps, res, dy):
+    x, mu, r, scale = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    xhat = (xf - mu) * r
+    reduce_rows = tuple(range(dy.ndim - 1))
+    dscale = jnp.sum(dyf * xhat, axis=reduce_rows).astype(scale.dtype)
+    dbias = jnp.sum(dyf, axis=reduce_rows).astype(scale.dtype)
+    dxhat = dyf * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, -1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, -1, keepdims=True)
+    dx = (r * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_ln_saved.defvjp(_ln_saved_fwd, _ln_saved_bwd)
+
+
+class LayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module (same {scale, bias} param tree) with
+    env-routable compute, for measuring the LN-stat/fc2-dW fusion boundary
+    (docs/BENCHMARKS.md Large profile: `convert_reduce` fusions at ~2x
+    roofline are the last identified off-roofline family).
+
+    SYNERGY_LN_IMPL: 'flax' (default — delegates to nn.LayerNorm, current
+    production path), 'saved' (custom-VJP that saves (x, mean, rstd) so the
+    backward never recomputes LN stats inside the fc2 dW/dx fusions),
+    'barrier' (optimization_barrier between the residual sum and the LN
+    stats, splitting the forward fusion)."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (x.shape[-1],))
+        impl = os.environ.get("SYNERGY_LN_IMPL", "flax")
+        if impl == "barrier":
+            x = jax.lax.optimization_barrier(x)
+            y, _ = _ln_fwd_impl(x, scale, bias, self.epsilon)
+            return y
+        if impl == "saved":
+            return _ln_saved(x, scale, bias, self.epsilon)
+        # 'flax' default with the same param tree: plain autodiff math
+        y, _ = _ln_fwd_impl(x, scale, bias, self.epsilon)
+        return y
+
+
+def _layer_norm_cls():
+    """nn.LayerNorm for the production default; the env-routed twin only when
+    SYNERGY_LN_IMPL is set (identical {scale, bias} param tree)."""
+    return (nn.LayerNorm if os.environ.get("SYNERGY_LN_IMPL", "flax") == "flax"
+            else LayerNorm)
 
 
 # torch nn.TransformerEncoderLayer init, for modules the reference builds
@@ -249,8 +330,9 @@ class EncoderLayer(nn.Module):
                                   name="attn")
         mlp = MLPBlock(self.intermediate_size, hidden, self.act, self.dtype,
                        torch_init=self.torch_init, name="mlp")
-        ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
-        ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
+        ln_cls = _layer_norm_cls()
+        ln1 = ln_cls(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
+        ln2 = ln_cls(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
         drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
         if self.pre_norm:
             x = x + drop(attn(ln1(x), bias))

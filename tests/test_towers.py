@@ -190,3 +190,65 @@ def test_exact_gelu_matches_autodiff():
     h_ref = jax.grad(jax.grad(
         lambda v: jax.nn.gelu(v, approximate=False)))(jnp.float32(0.7))
     assert abs(float(h - h_ref)) <= 1e-6
+
+
+def test_layernorm_impls_match_flax():
+    """models/layers.LayerNorm (env-routable fusion-boundary twin of
+    nn.LayerNorm; SYNERGY_LN_IMPL in {flax, saved, barrier}) must keep the
+    exact {scale, bias} param tree and flax numerics for every impl —
+    outputs AND all three grads — in f32 and bf16. The 'saved' custom VJP
+    additionally changes WHAT the backward recomputes (it saves (x, mean,
+    rstd)), so its grads are pinned at f32 tolerance, not bit equality."""
+    import os
+
+    import flax.linen as nn
+    import jax
+
+    from synergy_tpu.models.layers import LayerNorm
+
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.standard_normal((4, 17, 96)) * 3, jnp.float32)
+
+    ref = nn.LayerNorm(epsilon=1e-5)
+    vref = ref.init(jax.random.PRNGKey(0), x32)
+
+    def loss(mod, v, x):
+        y = mod.apply(v, x)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    lref, (gpref, gxref) = (
+        loss(ref, vref, x32),
+        jax.grad(lambda v, x: loss(ref, v, x), argnums=(0, 1))(vref, x32))
+
+    prev = os.environ.get("SYNERGY_LN_IMPL")
+    try:
+        for impl in ("flax", "saved", "barrier"):
+            os.environ["SYNERGY_LN_IMPL"] = impl
+            ours = LayerNorm(epsilon=1e-5)
+            v = ours.init(jax.random.PRNGKey(0), x32)
+            assert jax.tree_util.tree_structure(v) == \
+                jax.tree_util.tree_structure(vref), impl
+            l, (gp, gx) = (
+                loss(ours, v, x32),
+                jax.grad(lambda v_, x_: loss(ours, v_, x_),
+                         argnums=(0, 1))(v, x32))
+            assert abs(float(l - lref)) <= 1e-4, (impl, float(l - lref))
+            for a, b in zip(jax.tree_util.tree_leaves((gp, gx)),
+                            jax.tree_util.tree_leaves((gpref, gxref))):
+                assert np.abs(np.asarray(a - b)).max() <= 4e-5, impl
+
+            # bf16 activations (the training dtype): forward bit-equal to
+            # flax's (f32 stats, cast at the end)
+            x16 = x32.astype(jnp.bfloat16)
+            ours16 = LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)
+            y16 = ours16.apply(v, x16)
+            yref16 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16).apply(
+                vref, x16)
+            assert y16.dtype == jnp.bfloat16
+            assert np.array_equal(np.asarray(y16, np.float32),
+                                  np.asarray(yref16, np.float32)), impl
+    finally:
+        if prev is None:
+            os.environ.pop("SYNERGY_LN_IMPL", None)
+        else:
+            os.environ["SYNERGY_LN_IMPL"] = prev
