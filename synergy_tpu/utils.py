@@ -28,14 +28,41 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
-def enable_compilation_cache() -> None:
+def host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags. XLA:CPU cache
+    entries are AOT machine code: loading an entry compiled on a previous
+    host with different features deoptimizes (or SIGILLs), which measured
+    as one collective participant missing the hardcoded 40 s rendezvous
+    termination timeout (rendezvous.cc CHECK -> silent abort) in the
+    Large-dim parity lane. Keying the CPU cache dir by host identity makes
+    foreign-host entries unloadable instead."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+def enable_compilation_cache(host_keyed: bool = False) -> None:
     """Point JAX's persistent compilation cache at a per-user dir so repeat
     CLI invocations skip the multi-minute XLA compile of the Base train/eval
     steps (the first MMR step compiles for ~4 min cold; ~seconds warm).
-    Call from CLI entry points; safe to call more than once."""
+    Call from CLI entry points; safe to call more than once.
+
+    host_keyed=True segments the cache by host CPU fingerprint — required
+    for CPU-backend runs (the test lanes), whose entries are host machine
+    code; TPU entries are compiled device-side, so CLIs on the chip keep
+    the shared dir and survive host re-provisioning between rounds."""
     try:
         cache = os.path.join(os.path.expanduser("~"), ".cache", "synergy_tpu",
                              "xla_cache")
+        if host_keyed:
+            cache += "_" + host_cpu_fingerprint()
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

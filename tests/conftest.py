@@ -39,7 +39,12 @@ from synergy_tpu.utils import enable_compilation_cache  # noqa: E402
 # Repeat test runs are dominated by XLA compiles of the same programs;
 # the persistent cache turns those into disk hits. Threshold lowered from
 # the library default (10 s) because test programs are small but numerous.
-enable_compilation_cache()
+# host_keyed: CPU cache entries are AOT machine code for THIS host — a
+# stale entry from a previous (differently-featured) VM deoptimizes one
+# collective participant past XLA's hardcoded 40 s rendezvous termination
+# timeout and abort()s the process (measured: the round-4/5 parity-lane
+# "Fatal Python error: Aborted" repro'd ONLY with the shared cache dir).
+enable_compilation_cache(host_keyed=True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 

@@ -116,6 +116,7 @@ def main():
         for v in variants:
             st = fresh_state(v)
             st, ls = compiled[v](st, args.steps)  # re-warm after rebuild
+            float(ls[-1])  # SYNC: drain async state init + re-warm before t0
             t0 = time.perf_counter()
             st, ls = compiled[v](st, args.steps)
             float(ls[-1])
