@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 def _freeze(obj):
@@ -48,6 +48,7 @@ class VisionConfig:
     dropout: float = 0.0
     initializer_range: float = 0.02
     initializer_factor: float = 1.0
+    ln_impl: Optional[str] = None
 
     @property
     def seq_len(self) -> int:
@@ -71,6 +72,11 @@ class VisionConfig:
             num_hidden_layers=24,
             num_attention_heads=16,
             patch_size=14,
+            # LN-stat/fc2-dW fusion boundary: an optimization_barrier
+            # between residual sum and LN stats measured -4% Large step time
+            # but +3.7% on Base, so routed here, not globally
+            # (tools/exp_ln.py A/B -- docs/BENCHMARKS.md)
+            ln_impl="barrier",
         )
 
 
@@ -94,6 +100,7 @@ class TextConfig:
     pad_token_id: int = 1
     eos_token_id: int = 2
     initializer_range: float = 0.02
+    ln_impl: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -116,6 +123,7 @@ class TextConfig:
             # +10.4% Large train, measured REGRESSION on Base, so routed
             # here, not globally (models/layers.py exact_gelu docstring)
             hidden_act="gelu_xjvp",
+            ln_impl="barrier",  # see VisionConfig.large()
         )
 
 
@@ -144,6 +152,7 @@ class AudioConfig:
     hidden_dropout: float = 0.0
     qkv_bias: bool = True
     initializer_range: float = 0.02
+    ln_impl: Optional[str] = None
 
     @property
     def freq_patches(self) -> int:
@@ -174,6 +183,7 @@ class AudioConfig:
             time_stride=10,
             # see TextConfig.large(): Large-only analytic-JVP GELU routing
             hidden_act="gelu_xjvp",
+            ln_impl="barrier",  # see VisionConfig.large()
         )
 
 

@@ -78,6 +78,7 @@ class ASTModel(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            ln_impl=cfg.ln_impl,
             name="encoder",
         )(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

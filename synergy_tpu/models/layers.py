@@ -112,14 +112,17 @@ class LayerNorm(nn.Module):
     (docs/BENCHMARKS.md Large profile: `convert_reduce` fusions at ~2x
     roofline are the last identified off-roofline family).
 
-    SYNERGY_LN_IMPL: 'flax' (default — delegates to nn.LayerNorm, current
-    production path), 'saved' (custom-VJP that saves (x, mean, rstd) so the
-    backward never recomputes LN stats inside the fc2 dW/dx fusions),
-    'barrier' (optimization_barrier between the residual sum and the LN
-    stats, splitting the forward fusion)."""
+    Routing: the SYNERGY_LN_IMPL env var (A/B harness, tools/exp_ln.py)
+    overrides the ``impl`` module field (config routing); default 'flax'.
+    'flax' — same math as nn.LayerNorm; 'saved' — custom-VJP that saves
+    (x, mean, rstd) so the backward never recomputes LN stats inside the
+    fc2 dW/dx fusions; 'barrier' — optimization_barrier between the
+    residual sum and the LN stats, splitting the forward fusion (measured
+    −4% Large step time, +3.7% regression on Base — docs/BENCHMARKS.md)."""
 
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +130,7 @@ class LayerNorm(nn.Module):
                            (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (x.shape[-1],))
-        impl = os.environ.get("SYNERGY_LN_IMPL", "flax")
+        impl = os.environ.get("SYNERGY_LN_IMPL") or self.impl or "flax"
         if impl == "barrier":
             x = jax.lax.optimization_barrier(x)
             y, _ = _ln_fwd_impl(x, scale, bias, self.epsilon)
@@ -139,11 +142,14 @@ class LayerNorm(nn.Module):
         return y
 
 
-def _layer_norm_cls():
-    """nn.LayerNorm for the production default; the env-routed twin only when
-    SYNERGY_LN_IMPL is set (identical {scale, bias} param tree)."""
-    return (nn.LayerNorm if os.environ.get("SYNERGY_LN_IMPL", "flax") == "flax"
-            else LayerNorm)
+def _make_layer_norm(ln_impl, epsilon, dtype, name):
+    """nn.LayerNorm when the resolved impl is 'flax' (production default);
+    the routed twin otherwise (identical {scale, bias} param tree). The
+    SYNERGY_LN_IMPL env var (A/B harness) overrides config routing."""
+    impl = os.environ.get("SYNERGY_LN_IMPL") or ln_impl or "flax"
+    if impl == "flax":
+        return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    return LayerNorm(epsilon=epsilon, dtype=dtype, impl=impl, name=name)
 
 
 # torch nn.TransformerEncoderLayer init, for modules the reference builds
@@ -321,6 +327,7 @@ class EncoderLayer(nn.Module):
     attn_impl: Optional[str] = None
     deterministic: bool = True
     torch_init: bool = False
+    ln_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, bias=None):
@@ -330,9 +337,10 @@ class EncoderLayer(nn.Module):
                                   name="attn")
         mlp = MLPBlock(self.intermediate_size, hidden, self.act, self.dtype,
                        torch_init=self.torch_init, name="mlp")
-        ln_cls = _layer_norm_cls()
-        ln1 = ln_cls(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
-        ln2 = ln_cls(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
+        ln1 = _make_layer_norm(self.ln_impl, self.layer_norm_eps, self.dtype,
+                               "ln1")
+        ln2 = _make_layer_norm(self.ln_impl, self.layer_norm_eps, self.dtype,
+                               "ln2")
         drop = nn.Dropout(self.dropout, deterministic=self.deterministic)
         if self.pre_norm:
             x = x + drop(attn(ln1(x), bias))
@@ -375,13 +383,14 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     torch_init: bool = False
+    ln_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, bias=None):
         args = (self.num_heads, self.head_dim, self.intermediate_size,
                 self.act, self.layer_norm_eps, self.pre_norm, self.dropout,
                 self.dtype, self.attn_impl, self.deterministic,
-                self.torch_init)
+                self.torch_init, self.ln_impl)
         if self.scan_layers:
             # remat with a dots-saveable policy: matmul outputs are saved,
             # elementwise work recomputes in bwd. Without it, nn.scan stacks

@@ -80,6 +80,7 @@ class RobertaModel(nn.Module):
             deterministic=self.deterministic,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            ln_impl=cfg.ln_impl,
             name="encoder",
         )(x, bias)
         pooled = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pooler")(x[:, 0, :])

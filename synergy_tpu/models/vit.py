@@ -80,6 +80,7 @@ class ViTModel(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            ln_impl=cfg.ln_impl,
             name="encoder",
         )(x)
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

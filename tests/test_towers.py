@@ -252,3 +252,44 @@ def test_layernorm_impls_match_flax():
             os.environ.pop("SYNERGY_LN_IMPL", None)
         else:
             os.environ["SYNERGY_LN_IMPL"] = prev
+
+
+def test_ln_impl_config_routing():
+    """Large configs route the per-layer LNs to the 'barrier' impl (measured
+    -4% Large step time, tools/exp_ln.py — docs/BENCHMARKS.md); the param
+    tree and numerics must be unchanged vs the default flax path, and the
+    SYNERGY_LN_IMPL env var (A/B harness) must override config routing."""
+    import os
+
+    import jax
+
+    from synergy_tpu.configs import CLIPConfig
+    from synergy_tpu.models.layers import EncoderLayer
+
+    assert CLIPConfig.large().vision.ln_impl == "barrier"
+    assert CLIPConfig.large().audio.ln_impl == "barrier"
+    assert CLIPConfig.base().vision.ln_impl is None  # flax default
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 9, 64)), jnp.float32)
+    kw = dict(num_heads=4, head_dim=16, intermediate_size=128, act="gelu")
+    ref = EncoderLayer(**kw)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    y_ref = ref.apply(v, x)
+
+    routed = EncoderLayer(**kw, ln_impl="barrier")
+    v2 = routed.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    y = routed.apply(v, x)
+    assert np.abs(np.asarray(y - y_ref)).max() <= 1e-5
+
+    prev = os.environ.get("SYNERGY_LN_IMPL")
+    try:
+        os.environ["SYNERGY_LN_IMPL"] = "flax"  # env overrides config
+        y3 = routed.apply(v, x)
+        assert np.array_equal(np.asarray(y3), np.asarray(y_ref))
+    finally:
+        if prev is None:
+            os.environ.pop("SYNERGY_LN_IMPL", None)
+        else:
+            os.environ["SYNERGY_LN_IMPL"] = prev
